@@ -1,0 +1,217 @@
+"""Deterministic synthetic fixtures: pages / polygons / nodes / ways.
+
+Everything is a pure function of row index or grid index — no RNG state, no
+clock — mirroring the reference's procedural generator
+(/root/reference/create_test_osm_file.py:140-209: `space` x `space` rectangular
+buildings every `2*space` over given extents, tagged building=yes/height=30.0,
+plus east-west and north-south 'primry' highways through offset road nodes)
+so goldens are stable the same way the reference's are
+(/root/reference/test.py:63-100).
+
+`pages` is generated *in Spark* (scales to the bench's millions of rows with
+no driver materialization); the polygon grid is small and built driver-side.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geoutils_spark.constants import LONDON_EXTENTS
+from geoutils_spark.functions.keys import key_lat_col, key_lon_col
+from geoutils_spark.functions.textextract import extract_text_udf
+
+WARC_EPOCH = 1704067200  # 2024-01-01T00:00:00Z
+LANGS = ["en", "de", "fr", "es", "pt"]
+_WORDS = [
+    "market", "river", "bridge", "castle", "garden", "station", "museum",
+    "harbour", "tower", "abbey", "square", "lane", "court", "bank", "cross",
+]
+
+
+def _words_expr(i, n_words: int, stride: int):
+    """Deterministic word sequence from the row index (JVM-side)."""
+    parts = []
+    arr = F.array(*[F.lit(w) for w in _WORDS])
+    for j in range(n_words):
+        parts.append(
+            F.element_at(arr, (F.pmod(i * stride + j * 7, F.lit(len(_WORDS))) + 1).cast("int"))
+        )
+    return F.concat_ws(" ", *parts)
+
+
+def pages_df(spark: SparkSession, n: int, hot_fraction: float = 0.0) -> DataFrame:
+    """Common-Crawl-style pages table (FIXTURES.md §1):
+    (page_id, url, warc_ts, html, text, lang) + derived geo via key math.
+
+    ``hot_fraction`` > 0 collapses that share of rows onto one page_key so a
+    single cell becomes hot (skew-handling testbed).
+    """
+    df = spark.range(n).withColumnRenamed("id", "page_id")
+    i = F.col("page_id")
+    lang = F.element_at(F.array(*[F.lit(x) for x in LANGS]), (F.pmod(i, F.lit(5)) + 1).cast("int"))
+    url = F.concat(
+        F.lit("https://site"), F.pmod(i, F.lit(503)).cast("string"),
+        F.lit(".example/"), lang, F.lit("/page"), i.cast("string"),
+    )
+    title = _words_expr(i, 4, 13)
+    para1 = _words_expr(i, 24, 5)
+    para2 = _words_expr(i, 18, 11)
+    html = F.concat(
+        F.lit("<!DOCTYPE html>\n<html><head>\n<title>"), title,
+        F.lit(" &amp; page "), i.cast("string"),
+        F.lit("</title>\n<style>body { color: #000; }</style>\n"
+              "<script type=\"text/javascript\">var x = "),
+        i.cast("string"),
+        F.lit("; if (x < 2) { x = x & 3; }</script>\n"
+              "<!-- generator: fixture v1 -->\n</head>\n<body>\n<h1>"),
+        title,
+        F.lit("</h1>\n<p>"), para1,
+        F.lit(" &#8364;"), F.pmod(i, F.lit(97)).cast("string"),
+        F.lit("</p>\n<div class=\"x\"><p>"), para2,
+        F.lit(" &lt;tag&gt; &quot;q&quot;</p></div>\n<ul><li>item "),
+        F.pmod(i, F.lit(7)).cast("string"),
+        F.lit("</li><li>lang "), lang,
+        F.lit("</li></ul>\n<a href=\"/page"), i.cast("string"),
+        F.lit("\">next&nbsp;link</a>\n</body></html>\n"),
+    )
+    # Skew knob: hot rows share one key → one hot cell downstream.
+    hot_n = int(n * hot_fraction)
+    key = F.when(i < F.lit(hot_n), F.lit(0)).otherwise(i) if hot_n else i
+    df = (
+        df.withColumn("lang", lang)
+        .withColumn("url", url)
+        .withColumn("warc_ts",
+                    F.timestamp_seconds(F.lit(WARC_EPOCH) + F.pmod(i * 9973, F.lit(31536000))))
+        .withColumn("html", html.cast("binary"))
+        .withColumn("page_key", key)
+    )
+    # Golden text is the engine's own deterministic extraction, pinned at
+    # fixture-gen time (re-extraction must reproduce it byte-for-byte).
+    return df.withColumn("text", extract_text_udf(F.col("html")))
+
+
+def with_page_geo(df: DataFrame, extents=LONDON_EXTENTS) -> DataFrame:
+    """Derive (lon, lat) from page_key — derivation itself is under test."""
+    return (
+        df.withColumn("lon", key_lon_col(F.col("page_key"), extents))
+        .withColumn("lat", key_lat_col(F.col("page_key"), extents))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Polygon grid (driver-side; mirrors create_test_osm_file.execute)
+# ---------------------------------------------------------------------------
+
+POLYGON_SCHEMA = T.StructType([
+    T.StructField("way_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("tags", T.MapType(T.StringType(), T.StringType()), False),
+    T.StructField("ring", T.ArrayType(T.StructType([
+        T.StructField("lon", T.DoubleType(), False),
+        T.StructField("lat", T.DoubleType(), False),
+    ])), False),
+    T.StructField("bbox", T.StructType([
+        T.StructField("minx", T.DoubleType(), False),
+        T.StructField("miny", T.DoubleType(), False),
+        T.StructField("maxx", T.DoubleType(), False),
+        T.StructField("maxy", T.DoubleType(), False),
+    ]), False),
+])
+
+
+def polygon_grid(extents=LONDON_EXTENTS, space: float | None = None):
+    """Python-side grid build: returns (polygons, nodes, ways) row lists.
+
+    Buildings: `space`x`space` squares every `2*space`
+    (create_test_osm_file.py:151-183, reading sw from extents[0] — the
+    reference code's extents[2] there is an off-by-index slip its own tests
+    never hit). Highways: east-west rows + north-south columns through road
+    nodes offset +1.5*space (ibid. :166-205).
+    """
+    lon0, lat0, lon1, lat1 = extents
+    if space is None:
+        space = (lon1 - lon0) / 10.0
+    node_id = 0
+    way_id = 0
+    nodes: list[tuple] = []        # (id, lon, lat)
+    ways: list[tuple] = []         # (id, refs, tags)
+    polys: list[dict] = []
+    road_nodes: list[int] = []
+    ny = nx = 0
+    yidx = 0
+    while yidx * space * 2 <= lat1 - lat0:
+        xidx = 0
+        while xidx * space * 2 <= lon1 - lon0:
+            sw = (lon0 + space * xidx * 2, lat0 + space * yidx * 2)
+            ne = (sw[0] + space, sw[1] + space)
+            road = (ne[0] + space * 0.5, ne[1] + space * 0.5)
+            road_nodes.append(node_id)
+            nodes.append((node_id, road[0], road[1]))
+            node_id += 1
+            corner_ids = []
+            ring = [(ne[0], ne[1]), (sw[0], ne[1]), (sw[0], sw[1]), (ne[0], sw[1])]
+            for lon, lat in ring:
+                nodes.append((node_id, lon, lat))
+                corner_ids.append(node_id)
+                node_id += 1
+            refs = corner_ids + [corner_ids[0]]
+            tags = {"building": "yes", "height": "30.0"}
+            ways.append((way_id, refs, tags))
+            ring_closed = ring + [ring[0]]
+            polys.append(_poly_row(way_id, "building", tags, ring_closed))
+            way_id += 1
+            xidx += 1
+        nx = xidx
+        yidx += 1
+    ny = yidx
+    for i in range(ny):
+        ew = road_nodes[i * nx:(i + 1) * nx]
+        tags = {"highway": "primry", "direction": "east-west"}
+        ways.append((way_id, ew, tags))
+        polys.append(_poly_row(way_id, "highway", tags,
+                               [(nodes[r][1], nodes[r][2]) for r in ew]))
+        way_id += 1
+        ns = [road_nodes[j * nx + i] for j in range(ny) if j * nx + i < len(road_nodes)]
+        tags = {"highway": "primry", "direction": "north-south"}
+        ways.append((way_id, ns, tags))
+        polys.append(_poly_row(way_id, "highway", tags,
+                               [(nodes[r][1], nodes[r][2]) for r in ns]))
+        way_id += 1
+    return polys, nodes, ways
+
+
+def _poly_row(way_id: int, kind: str, tags: dict, ring: list[tuple]) -> dict:
+    xs = [p[0] for p in ring]
+    ys = [p[1] for p in ring]
+    return {
+        "way_id": way_id,
+        "kind": kind,
+        "tags": tags,
+        "ring": [{"lon": x, "lat": y} for x, y in ring],
+        "bbox": {"minx": min(xs), "miny": min(ys), "maxx": max(xs), "maxy": max(ys)},
+    }
+
+
+def polygons_df(spark: SparkSession, extents=LONDON_EXTENTS,
+                space: float | None = None) -> DataFrame:
+    polys, _, _ = polygon_grid(extents, space)
+    return spark.createDataFrame(polys, POLYGON_SCHEMA)
+
+
+def nodes_ways_df(spark: SparkSession, extents=LONDON_EXTENTS,
+                  space: float | None = None) -> tuple[DataFrame, DataFrame]:
+    """Raw OSM-shaped tables for the nodes⋈ways location-resolution join
+    (FIXTURES.md §3; reference J1)."""
+    _, nodes, ways = polygon_grid(extents, space)
+    nodes_df = spark.createDataFrame(
+        pd.DataFrame(nodes, columns=["id", "lon", "lat"]),
+        "id long, lon double, lat double",
+    )
+    ways_df = spark.createDataFrame(
+        [(w, list(r), t) for w, r, t in ways],
+        "id long, refs array<long>, tags map<string,string>",
+    )
+    return nodes_df, ways_df

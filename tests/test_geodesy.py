@@ -1,0 +1,73 @@
+"""Geodesy kernels vs independent closed-form checks; the reference's own
+golden is `Cell Center = 51.473,-0.0468724` (/root/reference/test.bats:81-90)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from geoutils_spark.functions import geodesy as G
+
+
+def test_haversine_known_value(spark):
+    # London -> Paris ≈ 343.5 km (6371km sphere)
+    df = spark.createDataFrame(
+        [(-0.1278, 51.5074, 2.3522, 48.8566)], "lon1 double, lat1 double, lon2 double, lat2 double")
+    d = df.select(G.haversine_m_col(
+        F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")).alias("d")).first().d
+    assert abs(d - 343.5e3) < 1.5e3
+
+
+def test_haversine_sql_parity(spark):
+    import duckdb
+    rows = [(-0.1278, 51.5074, 2.3522, 48.8566), (0.0, 0.0, 1.0, 1.0),
+            (-179.9, 10.0, 179.9, 10.2)]
+    df = spark.createDataFrame(rows, "lon1 double, lat1 double, lon2 double, lat2 double")
+    got = [r.d for r in df.select(G.haversine_m_col(
+        F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")).alias("d")).collect()]
+    expr = G.haversine_m_sql("lon1", "lat1", "lon2", "lat2")
+    want = [
+        duckdb.sql(
+            f"SELECT {expr} AS d FROM (SELECT {a} lon1, {b} lat1, {c} lon2, {d} lat2)"
+        ).fetchone()[0]
+        for a, b, c, d in rows
+    ]
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_bearing(spark):
+    df = spark.createDataFrame([(0.0, 0.0, 0.0, 1.0), (0.0, 0.0, 1.0, 0.0)],
+                               "lon1 double, lat1 double, lon2 double, lat2 double")
+    got = [r.b for r in df.select(G.bearing_deg_col(
+        F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")).alias("b")).collect()]
+    assert abs(got[0] - 0.0) < 1e-9   # due north
+    assert abs(got[1] - 90.0) < 1e-9  # due east
+
+
+def test_ecef_ned_roundtrip():
+    rng = np.random.default_rng(42)
+    lon = rng.uniform(-179, 179, 500)
+    lat = rng.uniform(-85, 85, 500)
+    alt = rng.uniform(0, 5000, 500)
+    lla = G.ecef_to_lla_np(G.lla_to_ecef_np(lon, lat, alt))
+    np.testing.assert_allclose(lla[:, 0], lon, atol=1e-9)
+    np.testing.assert_allclose(lla[:, 1], lat, atol=1e-7)
+    np.testing.assert_allclose(lla[:, 2], alt, atol=1e-3)
+    origin = (-0.1, 51.5, 0.0)
+    ned = G.lla_to_ned_np(lon, lat, alt, origin)
+    back = G.ned_to_lla_np(ned, origin)
+    np.testing.assert_allclose(back[:, 0], lon, atol=1e-9)
+    np.testing.assert_allclose(back[:, 1], lat, atol=1e-7)
+
+
+def test_ned_udf(spark):
+    df = spark.createDataFrame([(-0.0468724, 51.473, 0.0)], "lon double, lat double, alt double")
+    udf = G.make_lla_to_ned_udf((-0.0468724, 51.473, 0.0))
+    r = df.select(udf(F.col("lon"), F.col("lat"), F.col("alt")).alias("ned")).first().ned
+    assert abs(r.n) < 1e-6 and abs(r.e) < 1e-6 and abs(r.d) < 1e-6
+
+
+def test_mercator(spark):
+    df = spark.createDataFrame([(0.0, 0.0), (-0.0468724, 51.473)], "lon double, lat double")
+    x, y = G.mercator_xy_col(F.col("lon"), F.col("lat"))
+    rows = df.select(x.alias("x"), y.alias("y")).collect()
+    assert rows[0].x == 0.0 and abs(rows[0].y) < 1e-6
+    assert abs(rows[1].x - (-5217.8)) < 1.0  # -0.0468724° at equator radius

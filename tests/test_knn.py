@@ -1,0 +1,32 @@
+"""kNN vs brute force (distance metric per reference eigenconversion.cpp:146-160)."""
+
+import numpy as np
+
+from geoutils_spark.operators.knn import knn_join
+from geoutils_spark.sources import fixtures
+
+
+def _hav(lon1, lat1, lon2, lat2):
+    R = 6371000.0
+    la1, la2 = np.radians(lat1), np.radians(lat2)
+    a = (np.sin((la2 - la1) / 2) ** 2
+         + np.cos(la1) * np.cos(la2) * np.sin((np.radians(lon2) - np.radians(lon1)) / 2) ** 2)
+    return 2 * R * np.arcsin(np.sqrt(a))
+
+
+def test_knn_exact(spark):
+    pages = fixtures.with_page_geo(fixtures.pages_df(spark, 1200))
+    queries = pages.filter("page_id % 300 = 0").selectExpr(
+        "page_id as query_id", "lon", "lat")
+    corpus = pages.selectExpr("page_id as neighbor_id", "lon", "lat")
+    got = knn_join(queries, corpus, k=5, level=13, ring=2).toPandas()
+    qp, cp = queries.toPandas(), corpus.toPandas()
+    for q in qp.itertuples():
+        d = _hav(q.lon, q.lat, cp.lon.to_numpy(), cp.lat.to_numpy())
+        mask = cp.neighbor_id.to_numpy() != q.query_id
+        order = sorted(zip(d[mask], cp.neighbor_id.to_numpy()[mask]))[:5]
+        exp_ids = [int(i) for _, i in order]
+        sub = got[got.query_id == q.query_id].sort_values("rank")
+        assert list(sub.neighbor_id) == exp_ids
+        np.testing.assert_allclose(sub.dist_m.to_numpy(),
+                                   [d for d, _ in order], rtol=1e-9)

@@ -1,0 +1,101 @@
+"""Spatial join vs brute-force oracle; golden precedent: the reference pins
+exact tile assignments (/root/reference/test.py:76-83)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geoutils_spark.operators.spatial_join import (
+    point_to_polyline_dist_np, ray_cast_np, spatial_join, with_covering_cells,
+)
+from geoutils_spark.sources import fixtures
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    pages = fixtures.with_page_geo(fixtures.pages_df(spark, 1500))
+    polys = fixtures.polygons_df(spark)
+    return pages, polys
+
+
+def _brute_pairs(pages_pdf, polys_pdf):
+    exp = set()
+    for b in polys_pdf.itertuples():
+        xs = np.array([p["lon"] for p in b.ring])
+        ys = np.array([p["lat"] for p in b.ring])
+        n = len(pages_pdf)
+        inside = ray_cast_np(
+            pages_pdf.lon.to_numpy(), pages_pdf.lat.to_numpy(),
+            np.array([xs] * n, dtype=object), np.array([ys] * n, dtype=object),
+        )
+        for pid in pages_pdf.page_id.to_numpy()[inside]:
+            exp.add((int(pid), int(b.way_id)))
+    return exp
+
+
+def test_join_matches_bruteforce(spark, data):
+    pages, polys = data
+    buildings = polys.filter("kind = 'building'")
+    got = {
+        (r.page_id, r.way_id)
+        for r in spatial_join(pages, buildings, level=15).collect()
+    }
+    exp = _brute_pairs(pages.select("page_id", "lon", "lat").toPandas(),
+                       buildings.select("way_id", "ring").toPandas())
+    assert got == exp
+    assert len(got) > 0
+
+
+def test_salted_and_shuffle_paths_agree(spark, data):
+    pages, polys = data
+    buildings = polys.filter("kind = 'building'")
+    base = {
+        (r.page_id, r.way_id)
+        for r in spatial_join(pages, buildings, level=15).collect()
+    }
+    shuffled = {
+        (r.page_id, r.way_id)
+        for r in spatial_join(pages, buildings, level=15,
+                              broadcast_polygons=False).collect()
+    }
+    salted = {
+        (r.page_id, r.way_id)
+        for r in spatial_join(pages, buildings, level=15,
+                              broadcast_polygons=False, n_salt=4).collect()
+    }
+    assert base == shuffled == salted
+
+
+def test_covering_cells_guard(spark, data):
+    _, polys = data
+    with pytest.raises(Exception, match="max_cells"):
+        with_covering_cells(polys, 22, max_cells=16).select(
+            F.explode("cells")
+        ).count()
+
+
+def test_ray_cast_boundary_determinism():
+    # unit square; points on edges follow the half-open rule deterministically
+    xs = np.array([0.0, 0.0, 1.0, 1.0, 0.0])
+    ys = np.array([0.0, 1.0, 1.0, 0.0, 0.0])
+    px = np.array([0.5, 0.0, 1.0, 0.5, 0.5, -0.1])
+    py = np.array([0.5, 0.5, 0.5, 0.0, 1.0, 0.5])
+    n = len(px)
+    got = ray_cast_np(px, py, np.array([xs] * n, dtype=object),
+                      np.array([ys] * n, dtype=object))
+    # interior in; left edge in, right edge out (x half-open);
+    # bottom/top corners follow y half-open rule: y=0 in, y=1 out
+    assert got.tolist() == [True, True, False, True, False, False]
+
+
+def test_polyline_distance_kernel():
+    xs = np.array([0.0, 1.0, 1.0])
+    ys = np.array([0.0, 0.0, 1.0])
+    px = np.array([0.5, 2.0, 1.2])
+    py = np.array([0.2, 0.0, 0.5])
+    d = point_to_polyline_dist_np(
+        px, py, np.array([xs] * 3, dtype=object), np.array([ys] * 3, dtype=object)
+    )
+    assert abs(d[0] - 0.2) < 1e-12
+    assert abs(d[1] - 1.0) < 1e-12
+    assert abs(d[2] - 0.2) < 1e-12
