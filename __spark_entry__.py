@@ -1,38 +1,59 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship spatial-join + tile-assignment pipeline on
+sf0.001. ``queries()`` / ``oracle_sql()`` — operator registry with DuckDB
+oracle twins (see geoutils_spark/queries.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from geoutils_spark import queries as Q  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: pages-style points (geo derived from order keys) x
+    fixture polygon grid -> exact PIP spatial join -> per-polygon counts +
+    level-12 cell/tile assignment rollup."""
+    from pyspark.sql import functions as F
+
+    from geoutils_spark.functions import cells as C
+    from geoutils_spark.functions import keys as K
+    from geoutils_spark.operators.spatial_join import spatial_join
+    from geoutils_spark.sources import fixtures
+
+    sf_dir = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+    pts = (
+        orders.withColumnRenamed("o_orderkey", "page_id")
+        .withColumn("lon", K.key_lon_col(F.col("page_id")))
+        .withColumn("lat", K.key_lat_col(F.col("page_id")))
+    )
+    polys = fixtures.polygons_df(spark).filter(F.col("kind") == "building")
+    joined = spatial_join(pts, polys, level=15, point_cols=("page_id",))
+    joined = C.with_cell_tile_xy(joined, "cell_id", 15, "tile_x", "tile_y")
+    return (
+        joined.groupBy("way_id")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.countDistinct("cell_id").alias("n_cells"),
+            F.min("tile_x").alias("min_tile_x"),
+            F.min("tile_y").alias("min_tile_y"),
+        )
+        .orderBy("way_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(Q.SPARK_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(Q.ORACLE_SQL)

@@ -1,0 +1,123 @@
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also reports pages/sec for the flagship spatial-join + tile-assignment
+pipeline (the BASELINE.json throughput metric) inside "queries" as
+"pipeline_pages_per_sec" (informational; "value" stays total seconds).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "2000000"))
+
+HEADLINE = [
+    "geo_cell_assign",
+    "geo_cell_histogram",
+    "geo_spatial_join",
+    "geo_knn",
+    "geo_tile_math",
+    "rel_pricing_summary",
+    "rel_revenue_by_nation",
+    "rel_topk_per_group",
+    "rel_events_hourly",
+    "text_token_stats",
+    "emb_knn_cosine",
+]
+
+
+def _session():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("geoutils_spark_bench")
+        .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def flagship_pipeline(spark, n_pages: int) -> int:
+    """pages -> extract_text -> geo -> cell/tile -> polygon join -> count.
+
+    The full hot path: JVM string/templating for page synthesis, Arrow-batched
+    text extraction, column-expression cell/tile encode, broadcast cell
+    equi-join, vectorized ray-cast refine.
+    """
+    from pyspark.sql import functions as F
+
+    from geoutils_spark.functions.textextract import extract_text_udf
+    from geoutils_spark.operators.spatial_join import spatial_join
+    from geoutils_spark.operators.tiling import with_tiles
+    from geoutils_spark.sources import fixtures
+
+    pages = fixtures.pages_df(spark, n_pages).drop("text")
+    pages = fixtures.with_page_geo(pages)
+    pages = pages.withColumn("text", extract_text_udf(F.col("html")))
+    pages = with_tiles(pages, "lon", "lat", zooms=(14,))
+    polys = fixtures.polygons_df(spark).filter(F.col("kind") == "building")
+    joined = spatial_join(
+        pages.select("page_id", "lon", "lat", "tile_z14_x", "tile_z14_y",
+                     F.length("text").alias("text_len")),
+        polys, level=15, point_cols=("page_id", "text_len"))
+    return joined.count()
+
+
+def main():
+    import __spark_entry__ as E
+
+    spark = _session()
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = E.queries()
+    times: dict[str, float] = {}
+
+    t0 = time.time()
+    n_matched = flagship_pipeline(spark, N_PAGES)
+    dt = time.time() - t0
+    times["pipeline_spatial_join"] = round(dt, 3)
+    times["pipeline_pages_per_sec"] = round(N_PAGES / dt, 1)
+
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+        del n
+    total = round(sum(v for k, v in times.items() if k != "pipeline_pages_per_sec"), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = SF_DIR
+    print(json.dumps({
+        "metric": "spatial_join_tile_assignment_bench",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "pages": N_PAGES,
+        "pipeline_matched_rows": n_matched,
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,699 @@
+"""Driver-contract query registry: Spark DataFrame query + DuckDB oracle SQL.
+
+Every operator claimed in SURVEY.md §2 gets an entry here; the driver runs
+the Spark side and the oracle side at sf=0.01 and compares row count, schema
+and an order-insensitive value hash (see ``__spark_entry__``).
+
+Oracle-safety rules used throughout:
+
+* geo columns derive from integer keys by pure arithmetic (identical text in
+  both dialects — ``functions.keys``);
+* money/double aggregations go through DECIMAL so sums are exact and
+  order-independent, then cast to DOUBLE at the end (identical bits);
+* output columns favor ints/strings; doubles only when they're a single
+  deterministic function of exact inputs;
+* every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from geoutils_spark.constants import LONDON_EXTENTS
+from geoutils_spark.functions import cells as C
+from geoutils_spark.functions import keys as K
+from geoutils_spark.functions.geodesy import haversine_m_col, haversine_m_sql
+from geoutils_spark.operators.knn import knn_join
+from geoutils_spark.operators.spatial_join import spatial_join
+from geoutils_spark.sources import fixtures
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        SPARK_QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dbl(x: float) -> str:
+    """Float literal for DuckDB SQL. Bare `51.514853` parses as DECIMAL there
+    (decimal arithmetic != IEEE double); force DOUBLE so both engines compute
+    on identical bits."""
+    return f"CAST({x!r} AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# Geo block — cell index, tiles, bbox, spatial join, kNN
+# (reference ops F1/F6/F11/F12, P3/P4, J2/J3, §2.5)
+# ---------------------------------------------------------------------------
+
+_LON = K.key_lon_sql("o_orderkey")
+_LAT = K.key_lat_sql("o_orderkey")
+_DLON = K.key_lon_sql("doc_id")
+_DLAT = K.key_lat_sql("doc_id")
+
+
+def _orders_points(spark, sf_dir):
+    df = _t(spark, sf_dir, "orders").select("o_orderkey")
+    return (
+        df.withColumn("lon", K.key_lon_col(F.col("o_orderkey")))
+        .withColumn("lat", K.key_lat_col(F.col("o_orderkey")))
+    )
+
+
+def _documents_points(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents").select("doc_id")
+    return (
+        df.withColumn("lon", K.key_lon_col(F.col("doc_id")))
+        .withColumn("lat", K.key_lat_col(F.col("doc_id")))
+    )
+
+
+@register(
+    "geo_cell_assign",
+    f"""
+    SELECT o_orderkey,
+           {C.cell_sql(_LON, _LAT, 12)} AS cell_id,
+           {C.tile_x_sql(_LON, 14)} AS tile_x,
+           {C.tile_y_sql(_LAT, 14)} AS tile_y
+    FROM orders
+    """,
+)
+def geo_cell_assign(spark, sf_dir):
+    """Point -> level-12 cell + z14 slippy tile (F11 + F1 analogs)."""
+    df = _orders_points(spark, sf_dir)
+    df = C.with_cell(df, "lon", "lat", 12, "cell_id")
+    df = C.with_tile_xy(df, "lon", "lat", 14, "tile_x", "tile_y")
+    return df.select("o_orderkey", "cell_id", "tile_x", "tile_y")
+
+
+@register(
+    "geo_cell_histogram",
+    f"""
+    SELECT {C.cell_sql(_LON, _LAT, 10)} AS cell_id, COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def geo_cell_histogram(spark, sf_dir):
+    """2D density histogram keyed by cell (reference A2, mapsplit.h:115-132)."""
+    df = _orders_points(spark, sf_dir)
+    df = C.with_cell(df, "lon", "lat", 10, "cell_id")
+    return df.groupBy("cell_id").agg(F.count("*").alias("n"))
+
+
+@register(
+    "geo_parent_rollup",
+    f"""
+    WITH leaf AS (
+      SELECT {C.cell_sql(_LON, _LAT, 12)} AS cell_id FROM orders
+    )
+    SELECT ((cell_id & -{1 << (2 * (30 - 8))}) | {1 << (2 * (30 - 8))}) AS parent_id,
+           COUNT(*) AS n
+    FROM leaf GROUP BY 1
+    """,
+)
+def geo_parent_rollup(spark, sf_dir):
+    """Hierarchical rollup via trailing-bit parent (reference F12,
+    s2util.h:68-77): leaf cells at L12 aggregated to L8 ancestors."""
+    df = _orders_points(spark, sf_dir)
+    df = C.with_cell(df, "lon", "lat", 12, "cell_id")
+    df = df.withColumn("parent_id", C.cell_parent_col(F.col("cell_id"), 8))
+    return df.groupBy("parent_id").agg(F.count("*").alias("n"))
+
+
+@register(
+    "geo_tile_math",
+    f"""
+    SELECT o_orderkey,
+           {C.tile_x_sql(_LON, 10)} AS z10_x, {C.tile_y_sql(_LAT, 10)} AS z10_y,
+           {C.tile_x_sql(_LON, 16)} AS z16_x, {C.tile_y_sql(_LAT, 16)} AS z16_y
+    FROM orders
+    """,
+)
+def geo_tile_math(spark, sf_dir):
+    """Slippy tile math at two zooms (reference F1 Mercator,
+    convertlatlng.cpp:27-35)."""
+    df = _orders_points(spark, sf_dir)
+    df = C.with_tile_xy(df, "lon", "lat", 10, "z10_x", "z10_y")
+    df = C.with_tile_xy(df, "lon", "lat", 16, "z16_x", "z16_y")
+    return df.select("o_orderkey", "z10_x", "z10_y", "z16_x", "z16_y")
+
+
+_BBOX = (-0.095, 51.518, -0.080, 51.528)
+
+
+@register(
+    "geo_bbox_filter",
+    f"""
+    SELECT o_orderkey FROM orders
+    WHERE {_LON} >= {_BBOX[0]!r} AND {_LON} < {_BBOX[2]!r}
+      AND {_LAT} >= {_BBOX[1]!r} AND {_LAT} < {_BBOX[3]!r}
+    """,
+)
+def geo_bbox_filter(spark, sf_dir):
+    """BoundFilter (reference P3, viewfilter.cpp:21-30) as a sargable
+    conjunctive range predicate."""
+    df = _orders_points(spark, sf_dir)
+    return df.filter(
+        (F.col("lon") >= _BBOX[0]) & (F.col("lon") < _BBOX[2])
+        & (F.col("lat") >= _BBOX[1]) & (F.col("lat") < _BBOX[3])
+    ).select("o_orderkey")
+
+
+_CENTER = (-0.0852, 51.5231)
+
+
+@register(
+    "geo_haversine_filter",
+    f"""
+    SELECT doc_id FROM documents
+    WHERE {haversine_m_sql(_DLON, _DLAT, repr(_CENTER[0]), repr(_CENTER[1]))} < 400.0
+    """,
+)
+def geo_haversine_filter(spark, sf_dir):
+    """Radius query by great-circle distance (reference F6)."""
+    df = _documents_points(spark, sf_dir)
+    d = haversine_m_col(F.col("lon"), F.col("lat"),
+                        F.lit(_CENTER[0]), F.lit(_CENTER[1]))
+    return df.filter(d < 400.0).select("doc_id")
+
+
+@register(
+    "geo_knn",
+    f"""
+    WITH pts AS (
+      SELECT doc_id, {_DLON} AS lon, {_DLAT} AS lat FROM documents
+    ),
+    q AS (SELECT doc_id AS query_id, lon, lat FROM pts WHERE doc_id % 100 = 0),
+    cand AS (
+      SELECT q.query_id, p.doc_id AS neighbor_id,
+             {haversine_m_sql('q.lon', 'q.lat', 'p.lon', 'p.lat')} AS d
+      FROM q, pts p WHERE p.doc_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY d ASC, neighbor_id ASC) AS rank
+      FROM cand
+    ) WHERE rank <= 5
+    """,
+)
+def geo_knn(spark, sf_dir):
+    """kNN (SURVEY §2.5): cell-ring candidates + haversine + windowed top-k.
+    Level 12 / ring 1 covers the whole fixture extent, so the result is
+    exact vs the oracle's brute-force cross join."""
+    pts = _documents_points(spark, sf_dir)
+    q = pts.filter(F.col("doc_id") % 100 == 0).selectExpr(
+        "doc_id as query_id", "lon", "lat")
+    c = pts.selectExpr("doc_id as neighbor_id", "lon", "lat")
+    out = knn_join(q, c, k=5, level=12, ring=1,
+                   q_id="query_id", c_id="neighbor_id")
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+
+
+def _grid_sql(nx: int = 6, ny: int = 3) -> str:
+    """Regenerate the fixture building grid in SQL (identical float math to
+    fixtures.polygon_grid)."""
+    lon0, lat0, lon1, lat1 = LONDON_EXTENTS
+    space = fixtures.grid_space(LONDON_EXTENTS, nx)
+    return f"""
+      SELECT (yi * {nx} + xi) AS way_id,
+             {_dbl(lon0)} + ({_dbl(space)} * xi) * 2 AS minx,
+             {_dbl(lat0)} + ({_dbl(space)} * yi) * 2 AS miny,
+             {_dbl(lon0)} + ({_dbl(space)} * xi) * 2 + {_dbl(space)} AS maxx,
+             {_dbl(lat0)} + ({_dbl(space)} * yi) * 2 + {_dbl(space)} AS maxy
+      FROM range({nx}) t1(xi), range({ny}) t2(yi)
+    """
+
+
+@register(
+    "geo_spatial_join",
+    f"""
+    WITH pts AS (
+      SELECT o_orderkey, {_LON} AS lon, {_LAT} AS lat FROM orders
+    ),
+    grid AS ({_grid_sql()})
+    SELECT p.o_orderkey AS page_id, g.way_id
+    FROM pts p JOIN grid g
+      ON p.lon >= g.minx AND p.lon < g.maxx
+     AND p.lat >= g.miny AND p.lat < g.maxy
+    """,
+)
+def geo_spatial_join(spark, sf_dir):
+    """Point-in-polygon spatial join through the full engine path (covering
+    cells -> cell equi-join -> exact ray cast). For the axis-aligned fixture
+    rectangles the half-open ray-cast rule equals the bbox predicate the
+    oracle uses, so parity is exact (reference J2/J3 + G5 semantics)."""
+    pts = _orders_points(spark, sf_dir).withColumnRenamed("o_orderkey", "page_id")
+    polys = fixtures.polygons_df(spark).filter(F.col("kind") == "building")
+    out = spatial_join(pts, polys, level=15, point_cols=("page_id",))
+    return out.select("page_id", "way_id")
+
+
+@register(
+    "geo_mercator_project",
+    f"""
+    SELECT o_orderkey,
+           ROUND(6378137.0 * RADIANS({_LON}), 2) AS merc_x,
+           ROUND(6378137.0 * LN(TAN(PI() / 4.0 + RADIANS({_LAT}) / 2)), 2) AS merc_y
+    FROM orders
+    """,
+)
+def geo_mercator_project(spark, sf_dir):
+    """Web-Mercator projection (reference F1, convertlatlng.cpp:27-35).
+    JVM Math and libm can differ by 1 ulp on tan/ln, so the oracle compares
+    at cm precision (the engine itself keeps full doubles)."""
+    from geoutils_spark.functions.geodesy import mercator_xy_col
+    df = _orders_points(spark, sf_dir)
+    x, y = mercator_xy_col(F.col("lon"), F.col("lat"))
+    return df.select("o_orderkey", F.round(x, 2).alias("merc_x"),
+                     F.round(y, 2).alias("merc_y"))
+
+
+# ---------------------------------------------------------------------------
+# Relational block — scans/filters/aggs/joins/windows/set ops
+# (operators Spark gives free; exercised for the correctness harness)
+# ---------------------------------------------------------------------------
+
+_D = "DECIMAL(18,2)"
+
+
+@register(
+    "rel_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS {_D})) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS {_D})) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS {_D}) * (CAST(1 AS {_D}) - CAST(l_discount AS {_D}))) AS DOUBLE) AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def rel_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan -> filter -> hash agg. DECIMAL sums keep the
+    result independent of partition order (exact), then DOUBLE for schema
+    parity."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast(_D)  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast(_D) - dec("l_discount")))
+            .cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "rel_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, rank FROM (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+      FROM orders
+    ) WHERE rank <= 3
+    """,
+)
+def rel_topk_per_group(spark, sf_dir):
+    """Top-k per group via window (deterministic tiebreak on key)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+@register(
+    "rel_revenue_by_nation",
+    f"""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS {_D}) * (CAST(1 AS {_D}) - CAST(l.l_discount AS {_D}))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def rel_revenue_by_nation(spark, sf_dir):
+    """Multi-join star query; small dims broadcast (Catalyst auto + hint)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    dec = lambda c: F.col(c).cast(_D)  # noqa: E731
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast(_D) - dec("l_discount")))
+            .cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "rel_events_hourly",
+    """
+    SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS hour_bucket,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rel_events_hourly(spark, sf_dir):
+    """Tumbling 1-hour event-time window as batch agg (streaming analog is
+    in streaming/, same semantics)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("hour_bucket",
+                     F.floor(F.unix_timestamp("ts") / 3600).cast("long"))
+        .groupBy("hour_bucket", "event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+             .alias("total_value"))
+    )
+
+
+@register(
+    "rel_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+)
+def rel_sessionize(spark, sf_dir):
+    """Sessionization: lag + gap>30min -> session starts per user."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap > 1800, 1).when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    return (
+        e.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").cast("long").alias("n_sessions"),
+             F.count("*").alias("n_events"))
+    )
+
+
+@register(
+    "rel_value_histogram",
+    """
+    SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket, COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def rel_value_histogram(spark, sf_dir):
+    """1D histogram (reference A2's bucketing, mapsplit.h:123-126)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("bucket", F.floor(F.col("value") / 50.0).cast("long"))
+        .groupBy("bucket").agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "rel_cube_lineitem",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS {_D})) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def rel_cube_lineitem(spark, sf_dir):
+    """CUBE grouping sets (absent in reference; free in Spark — SURVEY §2.6)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(_D)).cast("double").alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "rel_distinct_union",
+    """
+    SELECT l_orderkey AS k FROM lineitem
+    UNION
+    SELECT o_orderkey AS k FROM orders
+    """,
+)
+def rel_distinct_union(spark, sf_dir):
+    """Union + dedup (reference S7/J4 set semantics)."""
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    return li.union(o).distinct()
+
+
+@register(
+    "rel_semi_anti",
+    """
+    SELECT 'with_lines' AS side, COUNT(*) AS n FROM orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    UNION ALL
+    SELECT 'no_lines' AS side, COUNT(*) AS n FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    """,
+)
+def rel_semi_anti(spark, sf_dir):
+    """Semi + anti join counts."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    semi = o.join(li, o.o_orderkey == li.l_orderkey, "left_semi").count()
+    anti = o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").count()
+    return spark.createDataFrame(
+        [("with_lines", semi), ("no_lines", anti)], "side string, n long")
+
+
+@register(
+    "rel_part_supplier",
+    """
+    SELECT p.p_brand AS brand, s.s_nationkey AS nationkey,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+    """,
+)
+def rel_part_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("p_brand").alias("brand"),
+                 F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_lines"),
+             F.sum(F.col("l_quantity").cast(_D)).cast("double").alias("qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Webtext block — dedup / text analysis / embeddings (training-data ops)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_dedup_exact",
+    """
+    SELECT MD5(text) AS text_hash, COUNT(*) AS n_docs,
+           MIN(doc_id) AS keeper_id
+    FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def text_dedup_exact(spark, sf_dir):
+    """Exact dedup via content hash: groups with >1 copy + canonical keeper."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_m,
+           CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+           CAST(LENGTH(text) - LENGTH(REPLACE(LOWER(text), 'e', '')) AS BIGINT) AS n_e
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting + char stats (quality-scoring inputs), whole-stage
+    codegen string ops, no UDF."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_m"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1)
+        .cast("long").alias("n_tokens"),
+        (F.length(F.lower(F.col("text")))
+         - F.length(F.replace(F.lower(F.col("text")), F.lit("e"), F.lit(""))))
+        .cast("long").alias("n_e"),
+    )
+
+
+@register(
+    "text_lang_stats",
+    """
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def text_lang_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+@register(
+    "emb_knn_cosine",
+    """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id % 50 = 0),
+    sims AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             list_dot_product(q.e, v.e)
+               / (SQRT(list_dot_product(q.e, q.e)) * SQRT(list_dot_product(v.e, v.e))) AS sim
+      FROM q, v WHERE v.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM sims
+    ) WHERE rank <= 5
+    """,
+)
+def emb_knn_cosine(spark, sf_dir):
+    """Brute-force cosine top-k over the embeddings table — the ANN baseline
+    (training-data similarity search). Double-cast before the fold so both
+    engines accumulate in float64."""
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e"))
+    q = v.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    cand = F.broadcast(q).crossJoin(v).filter(F.col("vec_id") != F.col("query_id"))
+    cand = cand.withColumn(
+        "sim",
+        dot(F.col("qe"), F.col("e"))
+        / (F.sqrt(dot(F.col("qe"), F.col("qe"))) * F.sqrt(dot(F.col("e"), F.col("e")))),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# OSM block — nodes⋈ways assembly (reference J1)
+# ---------------------------------------------------------------------------
+
+_NX, _NY = 6, 3
+
+
+def _nodes_ways_sql() -> str:
+    """SQL regeneration of the fixture nodes/ways tables: building b has node
+    ids [b*5 (road), b*5+1..b*5+4 (corners NE,NW,SW,SE)], refs = corners +
+    first corner again (closure)."""
+    lon0, lat0, _, _ = LONDON_EXTENTS
+    space = fixtures.grid_space(LONDON_EXTENTS, _NX)
+    return f"""
+    buildings AS (
+      SELECT (yi * {_NX} + xi) AS b, xi, yi,
+             {_dbl(lon0)} + ({_dbl(space)} * xi) * 2 AS swx,
+             {_dbl(lat0)} + ({_dbl(space)} * yi) * 2 AS swy
+      FROM range({_NX}) t1(xi), range({_NY}) t2(yi)
+    ),
+    corners AS (
+      SELECT b, b*5 + 1 + c AS node_id,
+             CASE WHEN c IN (0, 3) THEN swx + {_dbl(space)} ELSE swx END AS lon,
+             CASE WHEN c IN (0, 1) THEN swy + {_dbl(space)} ELSE swy END AS lat
+      FROM buildings, range(4) t3(c)
+    ),
+    way_refs AS (
+      SELECT b AS way_id, r,
+             CASE WHEN r = 4 THEN b*5 + 1 ELSE b*5 + 1 + r END AS ref
+      FROM buildings, range(5) t4(r)
+    )
+    """
+
+
+@register(
+    "osm_ring_assembly",
+    f"""
+    WITH {_nodes_ways_sql()}
+    SELECT w.way_id,
+           COUNT(*) AS n_pts,
+           CAST(MIN(c.lon) AS DOUBLE) AS minx,
+           CAST(MIN(c.lat) AS DOUBLE) AS miny,
+           CAST(MAX(c.lon) AS DOUBLE) AS maxx,
+           CAST(MAX(c.lat) AS DOUBLE) AS maxy
+    FROM way_refs w JOIN corners c ON w.ref = c.node_id
+    GROUP BY w.way_id
+    """,
+)
+def osm_ring_assembly(spark, sf_dir):
+    """J1: nodes⋈ways location resolution (build-side hash join in the
+    reference, osm2assimp/main.cpp:32-35) as posexplode + equi-join +
+    re-assembly, emitting per-way bbox (A4 analog)."""
+    nodes, ways = fixtures.nodes_ways_df(spark, nx=_NX, ny=_NY)
+    buildings = ways.filter(F.try_element_at("tags", F.lit("building")).isNotNull())
+    exploded = buildings.select(
+        F.col("id").alias("way_id"), F.posexplode("refs").alias("pos", "ref"))
+    resolved = exploded.join(F.broadcast(nodes), exploded.ref == nodes.id)
+    return resolved.groupBy("way_id").agg(
+        F.count("*").alias("n_pts"),
+        F.min("lon").alias("minx"), F.min("lat").alias("miny"),
+        F.max("lon").alias("maxx"), F.max("lat").alias("maxy"),
+    )

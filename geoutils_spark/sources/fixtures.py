@@ -122,7 +122,12 @@ POLYGON_SCHEMA = T.StructType([
 ])
 
 
-def polygon_grid(extents=LONDON_EXTENTS, space: float | None = None):
+def grid_space(extents=LONDON_EXTENTS, nx: int = 6) -> float:
+    lon0, _, lon1, _ = extents
+    return (lon1 - lon0) / (2.0 * nx)
+
+
+def polygon_grid(extents=LONDON_EXTENTS, nx: int = 6, ny: int = 3):
     """Python-side grid build: returns (polygons, nodes, ways) row lists.
 
     Buildings: `space`x`space` squares every `2*space`
@@ -130,21 +135,22 @@ def polygon_grid(extents=LONDON_EXTENTS, space: float | None = None):
     reference code's extents[2] there is an off-by-index slip its own tests
     never hit). Highways: east-west rows + north-south columns through road
     nodes offset +1.5*space (ibid. :166-205).
+
+    The grid is parameterized by integer counts (nx, ny) rather than a float
+    stop condition so a SQL oracle can regenerate the identical geometry with
+    no float-boundary ambiguity; ``space = (lon1-lon0)/(2*nx)``.
+    Building way_ids are ``yi*nx + xi`` (0..nx*ny-1); highways follow.
     """
     lon0, lat0, lon1, lat1 = extents
-    if space is None:
-        space = (lon1 - lon0) / 10.0
+    space = grid_space(extents, nx)
     node_id = 0
     way_id = 0
     nodes: list[tuple] = []        # (id, lon, lat)
     ways: list[tuple] = []         # (id, refs, tags)
     polys: list[dict] = []
     road_nodes: list[int] = []
-    ny = nx = 0
-    yidx = 0
-    while yidx * space * 2 <= lat1 - lat0:
-        xidx = 0
-        while xidx * space * 2 <= lon1 - lon0:
+    for yidx in range(ny):
+        for xidx in range(nx):
             sw = (lon0 + space * xidx * 2, lat0 + space * yidx * 2)
             ne = (sw[0] + space, sw[1] + space)
             road = (ne[0] + space * 0.5, ne[1] + space * 0.5)
@@ -163,10 +169,6 @@ def polygon_grid(extents=LONDON_EXTENTS, space: float | None = None):
             ring_closed = ring + [ring[0]]
             polys.append(_poly_row(way_id, "building", tags, ring_closed))
             way_id += 1
-            xidx += 1
-        nx = xidx
-        yidx += 1
-    ny = yidx
     for i in range(ny):
         ew = road_nodes[i * nx:(i + 1) * nx]
         tags = {"highway": "primry", "direction": "east-west"}
@@ -196,16 +198,16 @@ def _poly_row(way_id: int, kind: str, tags: dict, ring: list[tuple]) -> dict:
 
 
 def polygons_df(spark: SparkSession, extents=LONDON_EXTENTS,
-                space: float | None = None) -> DataFrame:
-    polys, _, _ = polygon_grid(extents, space)
+                nx: int = 6, ny: int = 3) -> DataFrame:
+    polys, _, _ = polygon_grid(extents, nx, ny)
     return spark.createDataFrame(polys, POLYGON_SCHEMA)
 
 
 def nodes_ways_df(spark: SparkSession, extents=LONDON_EXTENTS,
-                  space: float | None = None) -> tuple[DataFrame, DataFrame]:
+                  nx: int = 6, ny: int = 3) -> tuple[DataFrame, DataFrame]:
     """Raw OSM-shaped tables for the nodes⋈ways location-resolution join
     (FIXTURES.md §3; reference J1)."""
-    _, nodes, ways = polygon_grid(extents, space)
+    _, nodes, ways = polygon_grid(extents, nx, ny)
     nodes_df = spark.createDataFrame(
         pd.DataFrame(nodes, columns=["id", "lon", "lat"]),
         "id long, lon double, lat double",
