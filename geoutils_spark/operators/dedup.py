@@ -1,0 +1,401 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Four tiers, cheapest first — the standard corpus-dedup ladder, each expressed
+Spark-first so the physical plan is a plain (broadcast-able / AQE-skew-split-
+able) equi-join, exactly the same "similarity becomes equality after
+indexing" trick the engine's spatial join uses for containment
+(operators/spatial_join.py; reference J2/J4 semantics:
+/root/reference/osms2split/src/s2splitter.cpp:110-135 dedups node ids per
+cell with a per-cell hash set — here the "cell" is an LSH band bucket).
+
+1. exact        — groupBy(md5(text)) (J4 analog).
+2. MinHash+LSH  — row-local signature (no shuffle), band keys, equi-join on
+                  (band, key); candidate pairs refined by signature agreement.
+3. SimHash      — 32-bit weighted bit-vote fingerprint; banded by 4x8-bit
+                  chunks (pigeonhole: hamming<=3 pairs always share a chunk).
+4. n-gram Jaccard — exact verify on candidate pairs (array_intersect).
+
+Hashing is MD5 end-to-end so the DuckDB oracle evaluates the identical
+function: hex→int parity is Spark ``conv(h,16,10)`` ≡ DuckDB
+``CAST('0x'||h AS BIGINT)``.
+
+Scale notes: signatures/fingerprints are row-local column expressions — the
+only shuffle is the final pair self-join keyed by band bucket, which AQE can
+skew-split; est-jaccard refinement happens *before* the exact verify so the
+expensive array ops run on candidate pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from geoutils_spark.functions.textanalysis import (
+    word_shingles_col,
+    word_shingles_sql,
+)
+
+# ---------------------------------------------------------------------------
+# MinHash
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature_col(shingles: Column, num_hashes: int = 12) -> Column:
+    """num_hashes-wide MinHash signature (array<string> of 32-hex min values).
+
+    Hash family j is md5 of a seed-prefixed shingle; the per-row min over the
+    shingle set is order-insensitive and row-local (no explode/shuffle).
+    """
+    def seeded(j: int):
+        # one-arg lambda only: a two-arg lambda would receive the array INDEX
+        # as its second argument (pyspark transform convention)
+        return lambda s: F.md5(F.concat(F.lit(f"{j}:"), s).cast("binary"))
+
+    return F.array(*[
+        F.array_min(F.transform(shingles, seeded(j))) for j in range(num_hashes)
+    ])
+
+
+def minhash_signature_sql(shingles: str, num_hashes: int = 12) -> str:
+    parts = ", ".join(
+        f"list_aggregate(list_transform({shingles}, s -> md5('{j}:' || s)), 'min')"
+        for j in range(num_hashes)
+    )
+    return f"[{parts}]"
+
+
+def band_keys_col(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """array<struct<band:int, key:string>> — one LSH bucket key per band."""
+    return F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", F.slice(sig, b * rows_per_band + 1, rows_per_band))
+                  .cast("binary")).alias("key"),
+        )
+        for b in range(bands)
+    ])
+
+
+def band_keys_sql(sig: str, bands: int, rows_per_band: int) -> str:
+    parts = ", ".join(
+        "{'band': %d, 'key': md5(array_to_string((%s)[%d:%d], '|'))}"
+        % (b, sig, b * rows_per_band + 1, (b + 1) * rows_per_band)
+        for b in range(bands)
+    )
+    return f"[{parts}]"
+
+
+def sig_agreement_col(a: Column, b: Column, num_hashes: int) -> Column:
+    """Fraction of agreeing signature positions — the MinHash Jaccard
+    estimate."""
+    eq = F.zip_with(a, b, lambda x, y: F.when(x == y, 1).otherwise(0))
+    return (
+        F.aggregate(eq, F.lit(0), lambda acc, x: acc + x).cast("double")
+        / F.lit(float(num_hashes))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    min_est_jaccard: float = 0.0,
+) -> DataFrame:
+    """Near-duplicate candidate pairs: (id_a, id_b, est_jaccard, exact_jaccard).
+
+    Physical plan: row-local signature projection → explode(bands) →
+    repartition by bucket (the lone shuffle) → self-join → distinct pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("__id"),
+        word_shingles_col(F.col(text_col), k_shingle).alias("__sh"),
+    ).withColumn("__sig", minhash_signature_col(F.col("__sh"), num_hashes))
+    banded = sig.select(
+        "__id", "__sig", "__sh",
+        F.explode(band_keys_col(F.col("__sig"), bands, rows_per_band)).alias("__bk"),
+    ).select("__id", "__sig", "__sh",
+             F.col("__bk.band").alias("__band"), F.col("__bk.key").alias("__key"))
+    a = banded.select(F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"),
+                      F.col("__sh").alias("sh_a"), "__band", "__key")
+    b = banded.select(F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b"),
+                      F.col("__sh").alias("sh_b"), "__band", "__key")
+    pairs = (
+        a.join(b, on=["__band", "__key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = pairs.withColumn(
+        "est_jaccard", sig_agreement_col(F.col("sig_a"), F.col("sig_b"), num_hashes)
+    ).filter(F.col("est_jaccard") >= min_est_jaccard)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    pairs = pairs.withColumn(
+        "exact_jaccard", inter.cast("double") / union.cast("double")
+    )
+    return pairs.select("id_a", "id_b", "est_jaccard", "exact_jaccard")
+
+
+def minhash_lsh_pairs_sql(
+    docs_cte: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    min_est_jaccard: float = 0.0,
+) -> str:
+    """DuckDB twin of minhash_lsh_pairs; ``docs_cte`` names a relation with
+    (id_col, text_col)."""
+    rows_per_band = num_hashes // bands
+    sh = word_shingles_sql(text_col, k_shingle)
+    sig = minhash_signature_sql("__sh", num_hashes)
+    bk = band_keys_sql("__sig", bands, rows_per_band)
+    eq_sum = " + ".join(
+        f"CASE WHEN sig_a[{i + 1}] = sig_b[{i + 1}] THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH sigs AS (
+      SELECT {id_col} AS __id, __sh, {sig} AS __sig
+      FROM (SELECT {id_col}, {sh} AS __sh FROM {docs_cte})
+    ),
+    banded AS (
+      SELECT __id, __sig, __sh, UNNEST({bk}, recursive := true)
+      FROM sigs
+    ),
+    pairs AS (
+      SELECT DISTINCT a.__id AS id_a, b.__id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.__id < b.__id
+    ),
+    scored AS (
+      SELECT p.id_a, p.id_b,
+             sa.__sig AS sig_a, sb.__sig AS sig_b,
+             sa.__sh AS sh_a, sb.__sh AS sh_b
+      FROM pairs p
+      JOIN sigs sa ON sa.__id = p.id_a
+      JOIN sigs sb ON sb.__id = p.id_b
+    )
+    SELECT id_a, id_b,
+           CAST(({eq_sum}) AS DOUBLE) / {float(num_hashes)!r} AS est_jaccard,
+           CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+             / CAST(len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+             AS exact_jaccard
+    FROM scored
+    WHERE CAST(({eq_sum}) AS DOUBLE) / {float(num_hashes)!r} >= {min_est_jaccard!r}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit, token-frequency weighted)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def _token_hash32_col(t: Column) -> Column:
+    """First 8 hex chars of md5 -> 32-bit int (never negative in a long)."""
+    return F.conv(F.substring(F.md5(t.cast("binary")), 1, 8), 16, 10).cast("long")
+
+
+def simhash_col(tokens: Column) -> Column:
+    """32-bit SimHash via row-local fold: per bit, sum +-1 votes over tokens;
+    bit set iff the vote is positive. No shuffle; whole-stage codegen.
+
+    The per-token hash is computed once into element 0 of a 33-wide
+    accumulator-style array (hash, then 32 vote lanes) — shift amounts must be
+    Python ints for Catalyst, so the bit loop is unrolled."""
+    hashes = F.transform(tokens, _token_hash32_col)
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[
+                F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
+                for i in range(SIMHASH_BITS)
+            ]),
+            lambda a, v: a + v,
+        ),
+    )
+    out = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        out = out + F.when(F.element_at(votes, i + 1) > 0,
+                           F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_sql(docs_cte: str, id_col: str, tokens: str) -> str:
+    """DuckDB twin as a relation: (id, simhash). Formulated relationally
+    (explode tokens x bits, two groupBys) — different plan, identical value."""
+    return f"""
+    SELECT __id AS {id_col}, SUM(CASE WHEN vote > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS simhash
+    FROM (
+      SELECT __id, i, SUM(((h >> i) & 1) * 2 - 1) AS vote
+      FROM (
+        SELECT {id_col} AS __id,
+               CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS h
+        FROM (SELECT {id_col}, UNNEST({tokens}) AS t FROM {docs_cte})
+      ), (SELECT UNNEST(range(0, {SIMHASH_BITS})) AS i)
+      GROUP BY __id, i
+    )
+    GROUP BY __id
+    """
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: banded by ``chunks`` bit-chunks (pigeonhole
+    guarantees recall for hamming <= chunks-1), verified by bit_count(xor)."""
+    from geoutils_spark.functions.textanalysis import tokens_col
+
+    bits_per_chunk = SIMHASH_BITS // chunks
+    sh = docs.select(
+        F.col(id_col).alias("__id"),
+        simhash_col(tokens_col(F.col(text_col))).alias("__sim"),
+    )
+    chunked = sh.select(
+        "__id", "__sim",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("__sim"), c * bits_per_chunk)
+                .bitwiseAND(F.lit((1 << bits_per_chunk) - 1)).alias("key"),
+            )
+            for c in range(chunks)
+        ])).alias("__ck"),
+    ).select("__id", "__sim", F.col("__ck.chunk").alias("__chunk"),
+             F.col("__ck.key").alias("__key"))
+    a = chunked.select(F.col("__id").alias("id_a"), F.col("__sim").alias("sim_a"),
+                       "__chunk", "__key")
+    b = chunked.select(F.col("__id").alias("id_b"), F.col("__sim").alias("sim_b"),
+                       "__chunk", "__key")
+    pairs = (
+        a.join(b, on=["__chunk", "__key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming",
+                    F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("id_a", "id_b", "hamming")
+
+
+def simhash_pairs_sql(docs_cte: str, id_col: str, tokens: str,
+                      max_hamming: int = 3, chunks: int = 4) -> str:
+    bits_per_chunk = SIMHASH_BITS // chunks
+    chunk_structs = ", ".join(
+        f"{{'chunk': {c}, 'key': (simhash >> {c * bits_per_chunk}) & {(1 << bits_per_chunk) - 1}}}"
+        for c in range(chunks)
+    )
+    return f"""
+    WITH sims AS ({simhash_sql(docs_cte, id_col, tokens)}),
+    chunked AS (
+      SELECT {id_col} AS __id, simhash, UNNEST([{chunk_structs}], recursive := true)
+      FROM sims
+    ),
+    cand AS (
+      SELECT DISTINCT a.__id AS id_a, b.__id AS id_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+      FROM chunked a JOIN chunked b
+        ON a.chunk = b.chunk AND a.key = b.key AND a.__id < b.__id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup (cosine >= threshold)
+# ---------------------------------------------------------------------------
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (F.sqrt(dot_col(a, a)) * F.sqrt(dot_col(b, b)))
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    threshold: float = 0.9,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Cosine near-dup pairs via sign-LSH bucketing + exact verify.
+
+    The LSH family is coordinate-difference hyperplanes
+    ``sign(v[a] - v[b])`` over fixed dimension pairs — pure comparisons, no
+    float rounding at the decision boundary to drift between engines, and a
+    valid sparse random-projection family. Bucket equality gates the
+    candidate join; exact cosine refines. Recall is approximate by design
+    (it's an LSH); the oracle runs the identical algorithm.
+    """
+    dims = _plane_dims(n_planes)
+    key = _sign_bucket_col(F.col(vec_col), dims)
+    v = vectors.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__e"),
+                       key.alias("__bucket"))
+    from geoutils_spark.operators.similarity import cosine_chain_col
+
+    a = v.select(F.col("__id").alias("id_a"), F.col("__e").alias("e_a"), "__bucket")
+    b = v.select(F.col("__id").alias("id_b"), F.col("__e").alias("e_b"), "__bucket")
+    pairs = (
+        a.join(b, on="__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # chain-sum cosine: bit-identical evaluation order vs the SQL twin
+        .withColumn("cosine", cosine_chain_col(F.col("e_a"), F.col("e_b")))
+        .filter(F.col("cosine") >= threshold)
+    )
+    return pairs.select("id_a", "id_b", "cosine")
+
+
+def _plane_dims(n_planes: int, dim: int = 64) -> list[tuple[int, int]]:
+    """Deterministic dimension pairs for the sign-LSH planes."""
+    return [((7 * j + 1) % dim, (13 * j + 29) % dim) for j in range(n_planes)]
+
+
+def _sign_bucket_col(vec: Column, dims: list[tuple[int, int]]) -> Column:
+    bits = [
+        F.when(F.element_at(vec, a + 1) > F.element_at(vec, b + 1), F.lit(1 << j))
+        .otherwise(F.lit(0))
+        for j, (a, b) in enumerate(dims)
+    ]
+    out = bits[0]
+    for x in bits[1:]:
+        out = out + x
+    return out
+
+
+def embedding_near_dup_sql(vectors_cte: str, id_col: str = "vec_id",
+                           vec_col: str = "e", threshold: float = 0.9,
+                           n_planes: int = 8) -> str:
+    dims = _plane_dims(n_planes)
+    key = " + ".join(
+        f"CASE WHEN {vec_col}[{a + 1}] > {vec_col}[{b + 1}] THEN {1 << j} ELSE 0 END"
+        for j, (a, b) in enumerate(dims)
+    )
+    from geoutils_spark.operators.similarity import cosine_chain_sql
+
+    cos = cosine_chain_sql("a.__e", "b.__e")
+    return f"""
+    WITH v AS (
+      SELECT {id_col} AS __id, {vec_col} AS __e, ({key}) AS __bucket
+      FROM {vectors_cte}
+    )
+    SELECT a.__id AS id_a, b.__id AS id_b, {cos} AS cosine
+    FROM v a JOIN v b ON a.__bucket = b.__bucket AND a.__id < b.__id
+    WHERE {cos} >= {threshold!r}
+    """

@@ -1,0 +1,176 @@
+"""Similarity search over embedding columns: brute-force cosine top-k and an
+IVF (inverted-file) bucketed ANN variant.
+
+Composes the same way the engine's kNN does (operators/knn.py; SURVEY.md
+§2.5): candidate generation via an equi-join on a coarse bucket key, exact
+scoring, windowed top-k. For IVF the bucket is the nearest-centroid id — the
+embedding-space analog of the spatial cell index (containment/closeness
+becomes equality after indexing).
+
+Scale: the centroid table is tiny and broadcast; vector→centroid assignment
+is a row-local argmax over the broadcast list; the only shuffle is the
+per-bucket candidate join keyed by centroid id. At 100 TB the fact side
+stays put, exactly like the spatial join.
+
+Parity: dot products are explicit 64-term left-to-right sums generated into
+BOTH dialects (identical IEEE evaluation order bit-for-bit), so cosine values
+hash-match between Spark and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+EMB_DIM = 64
+
+
+# ---------------------------------------------------------------------------
+# Bit-exact dot product (explicit sum chain, identical order both dialects)
+# ---------------------------------------------------------------------------
+
+def dot_chain_col(a: Column, b: Column, dim: int = EMB_DIM) -> Column:
+    out = F.element_at(a, 1) * F.element_at(b, 1)
+    for i in range(2, dim + 1):
+        out = out + F.element_at(a, i) * F.element_at(b, i)
+    return out
+
+
+def dot_chain_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    terms = " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(1, dim + 1))
+    return f"({terms})"
+
+
+def cosine_chain_col(a: Column, b: Column, dim: int = EMB_DIM) -> Column:
+    return dot_chain_col(a, b, dim) / (
+        F.sqrt(dot_chain_col(a, a, dim)) * F.sqrt(dot_chain_col(b, b, dim))
+    )
+
+
+def cosine_chain_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    return (
+        f"({dot_chain_sql(a, b, dim)} / "
+        f"(SQRT({dot_chain_sql(a, a, dim)}) * SQRT({dot_chain_sql(b, b, dim)})))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k (the exactness baseline)
+# ---------------------------------------------------------------------------
+
+def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int,
+                v_id: str = "vec_id", q_id: str = "query_id",
+                vec: str = "e", qvec: str = "qe") -> DataFrame:
+    """Exact top-k: broadcast the (small) query set against the full vector
+    table; windowed rank with deterministic tiebreak."""
+    cand = (
+        F.broadcast(queries).crossJoin(vectors)
+        .filter(F.col(v_id) != F.col(q_id))
+        .withColumn("sim", cosine_chain_col(F.col(qvec), F.col(vec)))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(v_id).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, F.col(v_id).alias("neighbor_id"),
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF: nearest-centroid bucketing + nprobe search
+# ---------------------------------------------------------------------------
+
+def assign_centroid_col(vec: Column, centroids: list[tuple[int, list[float]]],
+                        dim: int = EMB_DIM) -> Column:
+    """Row-local argmax of cosine(vec, centroid) over a broadcast centroid
+    list; ties broken by centroid id (asc). Expressed as array_min over
+    (negsim, cid) structs — linear expression size (a when-chain would double
+    the Catalyst tree per centroid)."""
+    entries = []
+    for cid, cvec in centroids:
+        carr = F.array(*[F.lit(float(x)) for x in cvec])
+        entries.append(F.struct(
+            (-cosine_chain_col(vec, carr, dim)).alias("negsim"),
+            F.lit(cid).alias("cid"),
+        ))
+    return F.array_min(F.array(*entries))["cid"]
+
+
+def top_centroids_col(vec: Column, centroids: list[tuple[int, list[float]]],
+                      nprobe: int, dim: int = EMB_DIM) -> Column:
+    """Array of the ``nprobe`` nearest centroid ids (sim desc, id asc) —
+    expressed as sort of a small literal-size array, row-local."""
+    entries = []
+    for cid, cvec in centroids:
+        carr = F.array(*[F.lit(float(x)) for x in cvec])
+        entries.append(F.struct(
+            (-cosine_chain_col(vec, carr, dim)).alias("negsim"),
+            F.lit(cid).alias("cid"),
+        ))
+    arr = F.array_sort(F.array(*entries))  # struct sort: negsim asc, cid asc
+    return F.transform(F.slice(arr, 1, nprobe), lambda s: s["cid"])
+
+
+def ivf_topk(vectors: DataFrame, queries: DataFrame,
+             centroids: list[tuple[int, list[float]]], k: int, nprobe: int,
+             v_id: str = "vec_id", q_id: str = "query_id",
+             vec: str = "e", qvec: str = "qe") -> DataFrame:
+    """IVF ANN: vectors bucketed by nearest centroid; each query probes its
+    ``nprobe`` nearest buckets; exact cosine + windowed top-k inside."""
+    v = vectors.withColumn("__bucket", assign_centroid_col(F.col(vec), centroids))
+    q = queries.withColumn(
+        "__bucket", F.explode(top_centroids_col(F.col(qvec), centroids, nprobe)))
+    cand = (
+        F.broadcast(q).join(v, on="__bucket")
+        .filter(F.col(v_id) != F.col(q_id))
+        .withColumn("sim", cosine_chain_col(F.col(qvec), F.col(vec)))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(v_id).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, F.col(v_id).alias("neighbor_id"),
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def ivf_topk_sql(vectors_cte: str, centroid_pred: str, query_pred: str,
+                 k: int, nprobe: int, dim: int = EMB_DIM) -> str:
+    """DuckDB twin of the full IVF pipeline (centroids selected by
+    ``centroid_pred`` over the same relation, identical assignment and probe
+    logic)."""
+    cos_vc = cosine_chain_sql("v.__e", "c.__e", dim)
+    cos_qc = cosine_chain_sql("q.__e", "c.__e", dim)
+    cos_qv = cosine_chain_sql("q.__e", "v.__e", dim)
+    return f"""
+    WITH base AS (SELECT vec_id AS __id, {_dbl_vec_sql('embedding')} AS __e FROM {vectors_cte}),
+    cents AS (SELECT __id AS cid, __e FROM base WHERE {centroid_pred}),
+    assigned AS (
+      SELECT v.__id, v.__e, c.cid AS bucket
+      FROM base v CROSS JOIN cents c
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY v.__id ORDER BY {cos_vc} DESC, c.cid ASC) = 1
+    ),
+    probes AS (
+      SELECT q.__id AS query_id, q.__e, c.cid AS bucket
+      FROM (SELECT * FROM base WHERE {query_pred}) q CROSS JOIN cents c
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY q.__id ORDER BY {cos_qc} DESC, c.cid ASC) <= {nprobe}
+    ),
+    cand AS (
+      SELECT p.query_id, v.__id AS neighbor_id, {_cos_pv(dim)} AS sim
+      FROM probes p JOIN assigned v ON p.bucket = v.bucket AND v.__id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM cand
+    ) WHERE rank <= {k}
+    """
+
+
+def _dbl_vec_sql(col: str) -> str:
+    return f"list_transform({col}, x -> CAST(x AS DOUBLE))"
+
+
+def _cos_pv(dim: int) -> str:
+    return cosine_chain_sql("p.__e", "v.__e", dim)

@@ -697,3 +697,251 @@ def osm_ring_assembly(spark, sf_dir):
         F.min("lon").alias("minx"), F.min("lat").alias("miny"),
         F.max("lon").alias("maxx"), F.max("lat").alias("maxy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops block — language-ID, quality, fingerprints, near-dup
+# dedup (MinHash+LSH, SimHash), embedding near-dup + IVF ANN.
+#
+# The dedup queries union deterministic mutated copies of documents into the
+# corpus (suffix-truncated texts / perturbed vectors) so near-duplicate pairs
+# provably exist at every sf — the fixture trick the reference uses for its
+# goldens (/root/reference/create_test_osm_file.py:140-209), applied to text.
+# ---------------------------------------------------------------------------
+
+from geoutils_spark.functions import textanalysis as TA  # noqa: E402
+from geoutils_spark.operators import dedup as DD  # noqa: E402
+from geoutils_spark.operators import similarity as SIM  # noqa: E402
+
+
+@register(
+    "text_langid",
+    f"""
+    SELECT doc_id,
+           {TA.lang_hits_sql(TA.tokens_sql('text'), 'en')} AS en_hits,
+           {TA.lang_hits_sql(TA.tokens_sql('text'), 'de')} AS de_hits,
+           {TA.langid_sql(TA.tokens_sql('text'))} AS pred_lang
+    FROM documents
+    """,
+)
+def text_langid(spark, sf_dir):
+    """Stopword-hit language-ID heuristic (pure column expressions)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = TA.tokens_col(F.col("text"))
+    return d.select(
+        "doc_id",
+        TA.lang_hits_col(toks, "en").alias("en_hits"),
+        TA.lang_hits_col(toks, "de").alias("de_hits"),
+        TA.langid_col(toks).alias("pred_lang"),
+    )
+
+
+def _quality_sql_cols() -> str:
+    qs = TA.quality_sqls("text")
+    return ",\n           ".join(f"{sql} AS {name}" for name, sql in qs.items())
+
+
+@register(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           {_quality_sql_cols()}
+    FROM documents
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality-signal bundle (token stats, stopword/digit/punct ratios) —
+    single deterministic float ops, oracle-exact."""
+    d = _t(spark, sf_dir, "documents")
+    qc = TA.quality_cols(F.col("text"))
+    return d.select("doc_id", *[c.alias(n) for n, c in qc.items()])
+
+
+@register(
+    "text_quality_gate",
+    f"""
+    WITH q AS (
+      SELECT doc_id, lang,
+             {TA.quality_sqls('text')['n_tokens']} AS n_tokens,
+             {TA.quality_sqls('text')['stopword_ratio']} AS stop_ratio,
+             {TA.quality_sqls('text')['mark_ratio']} AS mark_ratio
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_tokens >= 20 AND stop_ratio >= 0.01
+                          AND mark_ratio <= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+    FROM q GROUP BY lang
+    """,
+)
+def text_quality_gate(spark, sf_dir):
+    """Gopher-style keep/drop filter rollup per language."""
+    d = _t(spark, sf_dir, "documents")
+    keep = TA.quality_keep_col(F.col("text"))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_keep"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id, {TA.fingerprint_sql('text')} AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Bottom-k shingle-hash document fingerprint (winnowing-style)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TA.fingerprint_col(F.col("text")).alias("fp"))
+
+
+# -- mutated-corpus helpers (near-dup ground truth) -------------------------
+
+_MUTANT_OFFSET = 100000
+
+
+def _docs_with_mutants(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    mut = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + _MUTANT_OFFSET).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, F.size(toks) - 3), " ").alias("text"),
+    )
+    return d.unionByName(mut)
+
+
+_DOCS_MUTANTS_SQL = f"""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_MUTANT_OFFSET} AS doc_id,
+             array_to_string(w[1:len(w)-3], ' ') AS text
+      FROM (SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents WHERE doc_id % 3 = 0)
+"""
+
+
+@register(
+    "text_dedup_exact",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_MUTANT_OFFSET} AS doc_id, text
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT MD5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+    FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def text_dedup_exact(spark, sf_dir):
+    """Exact dedup via content hash over a corpus with known exact copies:
+    groups with >1 member + canonical keeper (reference J4 semantics)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + _MUTANT_OFFSET).alias("doc_id"), "text")
+    corpus = d.unionByName(dup)
+    return (
+        corpus.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH corpus AS ({_DOCS_MUTANTS_SQL}),
+    out AS ({DD.minhash_lsh_pairs_sql('corpus', min_est_jaccard=0.5)})
+    SELECT id_a, id_b, est_jaccard, exact_jaccard FROM out
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (shingle -> 12-hash signature -> 4 bands ->
+    bucket self-join -> signature-agreement filter -> exact Jaccard)."""
+    corpus = _docs_with_mutants(spark, sf_dir)
+    return DD.minhash_lsh_pairs(corpus, min_est_jaccard=0.5)
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH corpus AS ({_DOCS_MUTANTS_SQL}),
+    out AS ({DD.simhash_pairs_sql('corpus', 'doc_id', TA.tokens_sql('text'), max_hamming=3)})
+    SELECT id_a, id_b, hamming FROM out
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs: 32-bit weighted bit-vote fingerprint, banded
+    candidate join on 8-bit chunks, hamming<=8 verify."""
+    corpus = _docs_with_mutants(spark, sf_dir)
+    return DD.simhash_pairs(corpus, max_hamming=3)
+
+
+# -- embeddings: near-dup + IVF ANN -----------------------------------------
+
+_PERTURB = "(1.0 + 0.02 * CAST((((i - 1) * 7 + vec_id) % 5) - 2 AS DOUBLE))"
+
+
+def _vectors_with_mutants(spark, sf_dir):
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e"))
+    i = F.sequence(F.lit(1), F.lit(SIM.EMB_DIM))
+    mut = v.filter(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + _MUTANT_OFFSET).alias("vec_id"),
+        F.transform(
+            i,
+            lambda idx: F.element_at(F.col("e"), idx.cast("int"))
+            * (F.lit(1.0) + F.lit(0.02)
+               * (F.pmod((idx - 1) * 7 + F.col("vec_id"), F.lit(5)) - 2).cast("double")),
+        ).alias("e"),
+    )
+    return v.unionByName(mut)
+
+
+_VECS_MUTANTS_SQL = f"""
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_MUTANT_OFFSET} AS vec_id,
+             list_transform(range(1, {SIM.EMB_DIM} + 1),
+                            i -> e[i] * {_PERTURB}) AS e
+      FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings WHERE vec_id % 4 = 0)
+"""
+
+
+@register(
+    "emb_near_dup",
+    f"""
+    WITH corpus AS ({_VECS_MUTANTS_SQL}),
+    out AS ({DD.embedding_near_dup_sql('corpus', threshold=0.98)})
+    SELECT id_a, id_b, ROUND(cosine, 9) AS cosine_r FROM out
+    """,
+)
+def emb_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via sign-LSH buckets (comparison-only
+    hash family — no float drift at bucket boundaries) + exact cosine."""
+    corpus = _vectors_with_mutants(spark, sf_dir)
+    out = DD.embedding_near_dup_pairs(corpus, threshold=0.98)
+    # cosine is already a deterministic fold; round for hash stability anyway
+    return out.select("id_a", "id_b", F.round("cosine", 9).alias("cosine_r"))
+
+
+@register(
+    "emb_ann_ivf",
+    SIM.ivf_topk_sql("embeddings", "__id % 25 = 7", "__id % 50 = 0",
+                     k=5, nprobe=3),
+)
+def emb_ann_ivf(spark, sf_dir):
+    """IVF ANN: vectors bucketed to nearest of 20 centroids (broadcast,
+    row-local argmax), queries probe 3 buckets, exact cosine + top-5."""
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e"))
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["e"]])
+        for r in v.filter(F.col("vec_id") % 25 == 7).collect()
+    ]
+    q = v.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    return SIM.ivf_topk(v, q, cents, k=5, nprobe=3)

@@ -1,0 +1,80 @@
+import pytest
+from pyspark.sql import functions as F
+
+from geoutils_spark.functions.textanalysis import tokens_col
+from geoutils_spark.operators import dedup as DD
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "one two three four five six seven eight nine ten eleven twelve"),
+        (2, "red green blue yellow purple orange pink brown black white"),
+    ]
+    # near-dup of 0: last token dropped; near-dup of 1: one token changed
+    near = [
+        (100, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        (101, "one two three four five six seven eight nine ten eleven dozen"),
+    ]
+    return spark.createDataFrame(base + near, "doc_id long, text string")
+
+
+def test_minhash_finds_near_dups(corpus):
+    pairs = DD.minhash_lsh_pairs(corpus, min_est_jaccard=0.3).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 100) in got
+    assert (1, 101) in got
+    # unrelated docs (disjoint vocab) never pair
+    assert (0, 1) not in got and (0, 2) not in got
+    by = {(r.id_a, r.id_b): r for r in pairs}
+    # doc0: 8 trigrams, doc100: 7 trigrams, all shared -> 7/8
+    assert by[(0, 100)].exact_jaccard == pytest.approx(7 / 8)
+    assert 0 <= by[(0, 100)].est_jaccard <= 1
+
+
+def test_minhash_signature_stability(corpus):
+    from geoutils_spark.functions.textanalysis import word_shingles_col
+
+    sig = corpus.select(
+        "doc_id",
+        DD.minhash_signature_col(word_shingles_col(F.col("text")), 12).alias("sig"),
+    )
+    a = {r.doc_id: r.sig for r in sig.collect()}
+    b = {r.doc_id: r.sig for r in sig.collect()}
+    assert a == b
+    assert all(len(v) == 12 for v in a.values())
+    # near-dup signatures agree in most positions
+    agree = sum(x == y for x, y in zip(a[0], a[100]))
+    assert agree >= 6
+
+
+def test_simhash_near_dup_small_hamming(corpus):
+    sims = {r.doc_id: r.sh for r in corpus.select(
+        "doc_id", DD.simhash_col(tokens_col(F.col("text"))).alias("sh")).collect()}
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFF).count("1")
+    assert ham(sims[0], sims[100]) < ham(sims[0], sims[2])
+    assert ham(sims[1], sims[101]) <= 10
+
+
+def test_simhash_pairs(corpus):
+    pairs = DD.simhash_pairs(corpus, max_hamming=10).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 100) in got or (1, 101) in got
+
+
+def test_embedding_near_dup(spark):
+    import math
+
+    vecs = []
+    for vid in range(6):
+        v = [math.cos(0.1 * (vid % 3) * (d + 1)) for d in range(64)]
+        vecs.append((vid, v))
+    # vid and vid+3 share direction exactly -> cosine 1.0
+    df = spark.createDataFrame(vecs, "vec_id long, e array<double>")
+    pairs = DD.embedding_near_dup_pairs(df, threshold=0.999).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert {(0, 3), (1, 4), (2, 5)} <= got
+    for r in pairs:
+        assert r.cosine >= 0.999

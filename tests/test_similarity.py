@@ -1,0 +1,81 @@
+import pytest
+from pyspark.sql import functions as F
+
+from geoutils_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+
+    rows = []
+    for vid in range(80):
+        # three loose clusters in 64-dim space + per-vector jitter
+        c = vid % 3
+        v = [
+            math.cos(0.07 * (c + 1) * (d + 1)) + 0.01 * math.sin(vid * 31 + d)
+            for d in range(64)
+        ]
+        rows.append((vid, v))
+    return spark.createDataFrame(rows, "vec_id long, e array<double>")
+
+
+def _queries(vectors):
+    return vectors.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+
+
+def test_bruteforce_topk(vectors):
+    out = SIM.cosine_topk(vectors, _queries(vectors), k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 10, 20, 30, 40, 50, 60, 70}
+    for q, rows in by_q.items():
+        assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == [1, 2, 3]
+        # nearest neighbors of a cluster member are cluster-mates
+        for r in rows:
+            assert r.neighbor_id % 3 == q % 3
+
+
+def test_ivf_matches_bruteforce_with_full_probe(vectors):
+    cents = [
+        (int(r.vec_id), list(r.e))
+        for r in vectors.filter(F.col("vec_id") < 3).collect()
+    ]
+    q = _queries(vectors)
+    exact = {(r.query_id, r.rank): r.neighbor_id
+             for r in SIM.cosine_topk(vectors, q, k=3).collect()}
+    # nprobe == all centroids -> every bucket searched -> exact result
+    ivf = {(r.query_id, r.rank): r.neighbor_id
+           for r in SIM.ivf_topk(vectors, q, cents, k=3, nprobe=3).collect()}
+    assert ivf == exact
+
+
+def test_ivf_recall_with_partial_probe(vectors):
+    cents = [
+        (int(r.vec_id), list(r.e))
+        for r in vectors.filter(F.col("vec_id") < 3).collect()
+    ]
+    q = _queries(vectors)
+    exact = {}
+    for r in SIM.cosine_topk(vectors, q, k=3).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ivf = {}
+    for r in SIM.ivf_topk(vectors, q, cents, k=3, nprobe=1).collect():
+        ivf.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # clusters align with centroids -> single-probe recall stays high
+    hits = sum(len(exact[q] & ivf.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.8
+
+
+def test_dot_chain_matches_python(spark):
+    a = [float(i + 1) for i in range(64)]
+    b = [float(2 * i - 3) for i in range(64)]
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    got = df.select(SIM.dot_chain_col(F.col("a"), F.col("b")).alias("d")).collect()[0].d
+    want = 0.0
+    for x, y in zip(a, b):
+        want += x * y
+    assert got == want

@@ -1,0 +1,72 @@
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geoutils_spark.functions import textanalysis as TA
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat and the dog ran off"),
+        (1, "der hund und die katze und das haus"),
+        (2, "le chat est sur le toit et la maison"),
+        (3, "xyzzy plugh foobar"),
+        (4, "numbers 123 and 456 mixed with words, punct! yes."),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_langid(docs):
+    out = {r.doc_id: r.lang for r in docs.select(
+        "doc_id", TA.langid_col(TA.tokens_col(F.col("text"))).alias("lang")).collect()}
+    assert out[0] == "en"
+    assert out[1] == "de"
+    assert out[2] == "fr"
+    assert out[3] == "und"
+
+
+def test_quality_cols(docs):
+    q = TA.quality_cols(F.col("text"))
+    r = {x.doc_id: x for x in docs.select("doc_id", *[c.alias(n) for n, c in q.items()]).collect()}
+    assert r[0].n_tokens == 11
+    assert r[0].stopword_ratio == pytest.approx(4 / 11)  # the x3, and
+    assert r[3].stopword_ratio == 0.0
+    assert r[4].digit_ratio > 0
+
+
+def test_quality_gate(docs):
+    out = {r.doc_id: r.keep for r in docs.select(
+        "doc_id", TA.quality_keep_col(F.col("text"), min_tokens=5).alias("keep")).collect()}
+    assert out[0] is True
+    assert out[3] is False  # no stopwords
+
+
+def test_shingles_and_fingerprint(docs):
+    out = {r.doc_id: r for r in docs.select(
+        "doc_id",
+        TA.word_shingles_col(F.col("text"), 3).alias("sh"),
+        TA.fingerprint_col(F.col("text")).alias("fp"),
+    ).collect()}
+    # n tokens -> n-2 trigram shingles (doc 0 has no repeats except none)
+    assert len(out[0].sh) == 9
+    assert out[3].sh == ["xyzzy plugh foobar"]
+    # deterministic: recompute equals
+    again = {r.doc_id: r.fp for r in docs.select(
+        "doc_id", TA.fingerprint_col(F.col("text")).alias("fp")).collect()}
+    assert all(again[k] == out[k].fp for k in again)
+
+
+def test_short_text_shingle_is_whole_text(spark):
+    df = spark.createDataFrame([(0, "one two")], "doc_id long, text string")
+    sh = df.select(TA.word_shingles_col(F.col("text"), 3).alias("sh")).collect()[0].sh
+    assert sh == ["one two"]
+
+
+def test_subtoken_counts(docs):
+    a, d, m = TA.subtoken_counts_col(F.col("text"))
+    r = docs.filter(F.col("doc_id") == 4).select(
+        a.alias("a"), d.alias("d"), m.alias("m")).collect()[0]
+    assert r.a == 7  # numbers, and, mixed, with, words, punct, yes
+    assert r.d == 2  # 123, 456
+    assert r.m == 3  # comma, bang, period
