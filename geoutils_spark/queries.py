@@ -945,3 +945,152 @@ def emb_ann_ivf(spark, sf_dir):
     q = v.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
     return SIM.ivf_topk(v, q, cents, k=5, nprobe=3)
+
+
+# ---------------------------------------------------------------------------
+# OSM feature-derivation + geometry block (reference F8-F10/P7, G1/G3, A2+J3
+# zonal). Oracles re-derive expected values from the fixture construction
+# rules — an independent derivation, not a SQL copy of the Spark plan.
+# ---------------------------------------------------------------------------
+
+from geoutils_spark.functions import geometry as G  # noqa: E402
+from geoutils_spark.functions import osmtags as OT  # noqa: E402
+from geoutils_spark.operators.extrude import extrude_polygons  # noqa: E402
+from geoutils_spark.operators.zonal import zonal_stats  # noqa: E402
+
+_N_BUILDINGS = _NX * _NY
+
+
+def _height_case_sql(b: str) -> str:
+    """Height from the fixture tag variants (fixtures._building_tag_variant):
+    %4==0 -> height '30.0'; ==1 -> 4 levels * 2.5; ==2 -> default 7.5;
+    ==3 -> unparseable height, fall back to 2 levels * 2.5."""
+    return (
+        f"CASE ({b}) % 4 WHEN 0 THEN 30.0 WHEN 1 THEN 10.0 "
+        f"WHEN 2 THEN 7.5 ELSE 5.0 END"
+    )
+
+
+def _name_case_sql(b: str) -> str:
+    return f"""
+      CASE ({b} + 1) % 4
+        WHEN 0 THEN 'Building ' || CAST({b} AS VARCHAR)
+        WHEN 1 THEN 'House ' || CAST({b} AS VARCHAR)
+        WHEN 2 THEN CAST({b} AS VARCHAR) || ' High Street'
+        ELSE CAST({b} AS VARCHAR)
+      END
+    """
+
+
+@register(
+    "osm_feature_attrs",
+    f"""
+    WITH b AS (SELECT UNNEST(range({_N_BUILDINGS})) AS way_id),
+    hw AS (SELECT UNNEST(range({_N_BUILDINGS}, {_N_BUILDINGS + 2 * _NY})) AS way_id)
+    SELECT way_id, 'building' AS kind, TRUE AS closed,
+           CAST({_height_case_sql('way_id')} AS DOUBLE) AS height,
+           {_name_case_sql('way_id')} AS name
+    FROM b
+    UNION ALL
+    SELECT way_id, 'highway' AS kind, FALSE AS closed,
+           7.5 AS height, CAST(way_id AS VARCHAR) AS name
+    FROM hw
+    """,
+)
+def osm_feature_attrs(spark, sf_dir):
+    """F8/F9/F10/P7: kind, closed-way, height cascade (incl. bad-parse
+    fallback), name priority lists — over the fixture ways; the oracle
+    re-derives expectations from the construction rules."""
+    _, ways = fixtures.nodes_ways_df(spark, nx=_NX, ny=_NY)
+    return ways.select(
+        F.col("id").alias("way_id"),
+        OT.kind_col(F.col("tags")).alias("kind"),
+        OT.closed_way_col(F.col("refs")).alias("closed"),
+        OT.height_col(F.col("tags")).alias("height"),
+        OT.name_col(F.col("tags"), F.col("id")).alias("name"),
+    )
+
+
+@register(
+    "geo_polygon_area",
+    f"""
+    WITH grid AS ({_grid_sql()}),
+    rings AS (
+      SELECT way_id,
+             [maxx, minx, minx, maxx, maxx] AS rx,
+             [maxy, maxy, miny, miny, maxy] AS ry
+      FROM grid
+    )
+    SELECT way_id,
+           ROUND({G.signed_area_sql('rx', 'ry')}, 12) AS area,
+           ({G.signed_area_sql('rx', 'ry')}) > 0 AS ccw,
+           ROUND({G.perimeter_deg_sql('rx', 'ry')}, 12) AS perimeter
+    FROM rings
+    """,
+)
+def geo_polygon_area(spark, sf_dir):
+    """G3 shoelace signed area + winding + perimeter over fixture building
+    rings (ring order NE,NW,SW,SE => CCW positive)."""
+    polys = fixtures.polygons_df(spark).filter(F.col("kind") == "building")
+    return polys.select(
+        "way_id",
+        F.round(G.signed_area_col(F.col("ring")), 12).alias("area"),
+        G.is_ccw_col(F.col("ring")).alias("ccw"),
+        F.round(G.perimeter_deg_col(F.col("ring")), 12).alias("perimeter"),
+    )
+
+
+@register(
+    "geo_zonal_stats",
+    f"""
+    WITH pts AS (
+      SELECT {C.tile_x_sql(_LON, 15)} AS tx, {C.tile_y_sql(_LAT, 15)} AS ty
+      FROM orders
+    ),
+    raster AS (SELECT tx, ty, COUNT(*) AS n FROM pts GROUP BY tx, ty),
+    grid AS ({_grid_sql()}),
+    bounds AS (
+      SELECT way_id,
+             {C.tile_x_sql('minx', 15)} AS x0, {C.tile_x_sql('maxx', 15)} AS x1,
+             {C.tile_y_sql('maxy', 15)} AS y0, {C.tile_y_sql('miny', 15)} AS y1
+      FROM grid
+    )
+    SELECT b.way_id, COUNT(*) AS n_cells, CAST(SUM(r.n) AS BIGINT) AS n_points
+    FROM raster r JOIN bounds b
+      ON r.tx BETWEEN b.x0 AND b.x1 AND r.ty BETWEEN b.y0 AND b.y1
+    GROUP BY b.way_id
+    """,
+)
+def geo_zonal_stats(spark, sf_dir):
+    """Raster↔vector zonal: points rasterized to level-15 cells (A2 density
+    grid keyed by cell), covering-cell join to polygons (J2/J3), per-polygon
+    rollup. Cell-granular semantics on both sides."""
+    pts = _orders_points(spark, sf_dir)
+    polys = fixtures.polygons_df(spark).filter(F.col("kind") == "building")
+    return zonal_stats(pts, polys, level=15).select(
+        "way_id", "n_cells", F.col("n_points").cast("long").alias("n_points"))
+
+
+@register(
+    "geom_extrude_stats",
+    f"""
+    WITH b AS (SELECT UNNEST(range({_N_BUILDINGS})) AS way_id)
+    SELECT way_id,
+           CAST(8 AS BIGINT) AS n_vertices,
+           CAST(12 AS BIGINT) AS n_faces,
+           CAST(4 * ({_height_case_sql('way_id')}) AS DOUBLE) AS vz_sum
+    FROM b
+    """,
+)
+def geom_extrude_stats(spark, sf_dir):
+    """G1 prism extrusion through mapInPandas (Arrow-batched numpy mesh
+    synthesis): per-way vertex/face counts + total top-ring height — the
+    oracle derives counts from the mesh layout contract (k=4 footprint =>
+    2k vertices, 4k-4 triangles)."""
+    polys = fixtures.polygons_df(spark).filter(F.col("kind") == "building")
+    polys = polys.withColumn("height", OT.height_col(F.col("tags")))
+    mesh = extrude_polygons(polys, "height")
+    return mesh.select(
+        "way_id", "n_vertices", "n_faces",
+        F.aggregate("vz", F.lit(0.0), lambda a, x: a + x).alias("vz_sum"),
+    )

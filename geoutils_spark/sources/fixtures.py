@@ -164,7 +164,7 @@ def polygon_grid(extents=LONDON_EXTENTS, nx: int = 6, ny: int = 3):
                 corner_ids.append(node_id)
                 node_id += 1
             refs = corner_ids + [corner_ids[0]]
-            tags = {"building": "yes", "height": "30.0"}
+            tags = {"building": "yes", **_building_tag_variant(way_id)}
             ways.append((way_id, refs, tags))
             ring_closed = ring + [ring[0]]
             polys.append(_poly_row(way_id, "building", tags, ring_closed))
@@ -183,6 +183,26 @@ def polygon_grid(extents=LONDON_EXTENTS, nx: int = 6, ny: int = 3):
                                [(nodes[r][1], nodes[r][2]) for r in ns]))
         way_id += 1
     return polys, nodes, ways
+
+
+def _building_tag_variant(way_id: int) -> dict:
+    """Deterministic tag variety so the height/name priority cascades
+    (reference F8/F9, osmfeature.cpp:23-86) are all exercised: height tag,
+    levels-derived, default, and bad-parse fallback; name tag, addr
+    housename, housenumber+street, and id fallback."""
+    h = {
+        0: {"height": "30.0"},
+        1: {"building:levels": "4"},
+        2: {},
+        3: {"height": "not_a_number", "building:levels": "2"},
+    }[way_id % 4]
+    n = {
+        0: {"name": f"Building {way_id}"},
+        1: {"addr:housename": f"House {way_id}"},
+        2: {"addr:housenumber": str(way_id), "addr:street": "High Street"},
+        3: {},
+    }[(way_id + 1) % 4]  # offset decorrelates name variant from height variant
+    return {**h, **n}
 
 
 def _poly_row(way_id: int, kind: str, tags: dict, ring: list[tuple]) -> dict:
