@@ -53,12 +53,16 @@ def _session():
     )
 
 
-def flagship_pipeline(spark, n_pages: int) -> int:
-    """pages -> extract_text -> geo -> cell/tile -> polygon join -> count.
+def flagship_pipeline(spark, n_pages: int) -> tuple[int, int]:
+    """pages -> extract_text -> geo -> cell/tile -> polygon join.
 
     The full hot path: JVM string/templating for page synthesis, Arrow-batched
     text extraction, column-expression cell/tile encode, broadcast cell
     equi-join, vectorized ray-cast refine.
+
+    Returns (matched_rows, total_text_len). The aggregate over text_len is
+    what FORCES the extraction stage — a bare count() lets Catalyst prune the
+    UDF out entirely and the bench would measure an empty pipeline.
     """
     from pyspark.sql import functions as F
 
@@ -76,7 +80,9 @@ def flagship_pipeline(spark, n_pages: int) -> int:
         pages.select("page_id", "lon", "lat", "tile_z14_x", "tile_z14_y",
                      F.length("text").alias("text_len")),
         polys, level=15, point_cols=("page_id", "text_len"))
-    return joined.count()
+    row = joined.agg(
+        F.count("*").alias("n"), F.sum("text_len").alias("tl")).collect()[0]
+    return row["n"], row["tl"]
 
 
 def main():
@@ -88,7 +94,7 @@ def main():
     times: dict[str, float] = {}
 
     t0 = time.time()
-    n_matched = flagship_pipeline(spark, N_PAGES)
+    n_matched, _total_text = flagship_pipeline(spark, N_PAGES)
     dt = time.time() - t0
     times["pipeline_spatial_join"] = round(dt, 3)
     times["pipeline_pages_per_sec"] = round(N_PAGES / dt, 1)

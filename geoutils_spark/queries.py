@@ -614,18 +614,19 @@ def emb_knn_cosine(spark, sf_dir):
     """Brute-force cosine top-k over the embeddings table — the ANN baseline
     (training-data similarity search). Double-cast before the fold so both
     engines accumulate in float64."""
-    v = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e"))
-    q = v.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    # precompute norms row-locally BEFORE the pair join: per-pair work drops
+    # from three 64-dim folds to one (3-4x less on the O(Q*N) hot loop)
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e"))
+    v = v.withColumn("nrm", F.sqrt(dot(F.col("e"), F.col("e"))))
+    q = v.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"))
     cand = F.broadcast(q).crossJoin(v).filter(F.col("vec_id") != F.col("query_id"))
     cand = cand.withColumn(
-        "sim",
-        dot(F.col("qe"), F.col("e"))
-        / (F.sqrt(dot(F.col("qe"), F.col("qe"))) * F.sqrt(dot(F.col("e"), F.col("e")))),
-    )
+        "sim", dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm")))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
     return (
         cand.withColumn("rank", F.row_number().over(w))
@@ -1093,4 +1094,118 @@ def geom_extrude_stats(spark, sf_dir):
     return mesh.select(
         "way_id", "n_vertices", "n_faces",
         F.aggregate("vz", F.lit(0.0), lambda a, x: a + x).alias("vz_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Polyline near-join + cell decode block (reference G2 buffer semantics,
+# s2util decode surface F12-F15)
+# ---------------------------------------------------------------------------
+
+_TOL = 0.0015
+
+
+def _highway_segments_sql() -> str:
+    """Axis-aligned fixture highways as (way_id, x0, y0, x1, y1): EW rows at
+    y = lat0 + space*(2*yi + 1.5), NS cols at x = lon0 + space*(2*i + 1.5)
+    (fixtures.polygon_grid road-node layout)."""
+    lon0, lat0, _, _ = LONDON_EXTENTS
+    space = fixtures.grid_space(LONDON_EXTENTS, _NX)
+    n_b = _NX * _NY
+    return f"""
+      SELECT {n_b} + 2 * i AS way_id,
+             {_dbl(lon0)} + {_dbl(space)} * 1.5 AS x0,
+             {_dbl(lat0)} + {_dbl(space)} * (2 * i + 1.5) AS y0,
+             {_dbl(lon0)} + {_dbl(space)} * (2 * ({_NX} - 1) + 1.5) AS x1,
+             {_dbl(lat0)} + {_dbl(space)} * (2 * i + 1.5) AS y1
+      FROM range({_NY}) t(i)
+      UNION ALL
+      SELECT {n_b} + 2 * i + 1 AS way_id,
+             {_dbl(lon0)} + {_dbl(space)} * (2 * i + 1.5) AS x0,
+             {_dbl(lat0)} + {_dbl(space)} * 1.5 AS y0,
+             {_dbl(lon0)} + {_dbl(space)} * (2 * i + 1.5) AS x1,
+             {_dbl(lat0)} + {_dbl(space)} * (2 * ({_NY} - 1) + 1.5) AS y1
+      FROM range({_NY}) t(i)
+    """
+
+
+@register(
+    "geo_polyline_join",
+    f"""
+    WITH pts AS (
+      SELECT o_orderkey AS page_id, {_LON} AS px, {_LAT} AS py FROM orders
+    ),
+    hw AS ({_highway_segments_sql()})
+    SELECT p.page_id, h.way_id
+    FROM pts p CROSS JOIN hw h
+    WHERE SQRT(
+        POW(GREATEST(h.x0 - p.px, p.px - h.x1, 0.0), 2)
+      + POW(GREATEST(h.y0 - p.py, p.py - h.y1, 0.0), 2)
+    ) <= {_TOL!r}
+    """,
+)
+def geo_polyline_join(spark, sf_dir):
+    """Points within tolerance of highway polylines (reference G2: the ribbon
+    buffer, expressed as distance-to-segment <= w/2). Engine path: padded
+    covering cells -> cell equi-join -> vectorized point-to-segment distance;
+    oracle re-derives with the axis-aligned closed form."""
+    from geoutils_spark.operators.spatial_join import polyline_join
+
+    pts = _orders_points(spark, sf_dir).withColumnRenamed("o_orderkey", "page_id")
+    lines = fixtures.polygons_df(spark).filter(F.col("kind") == "highway")
+    out = polyline_join(pts, lines, level=15, tolerance_deg=_TOL,
+                        point_cols=("page_id",))
+    return out.select("page_id", "way_id").dropDuplicates()
+
+
+def _center_sinh_sql(v: str) -> str:
+    """sinh via exp (DuckDB lacks sinh); the Spark side uses the identical
+    exp form for bit parity."""
+    x = f"(PI() * (1.0 - 2.0 * ({v})))"
+    return f"((EXP({x}) - EXP(-{x})) / 2.0)"
+
+
+@register(
+    "geo_cell_decode",
+    f"""
+    WITH pts AS (
+      SELECT o_orderkey,
+             {C.tile_x_sql(_LON, 12)} AS tx, {C.tile_y_sql(_LAT, 12)} AS ty,
+             {C.cell_sql(_LON, _LAT, 12)} AS cell_id
+      FROM orders
+    )
+    SELECT o_orderkey, cell_id,
+           printf('%016x', cell_id) AS cell_hex,
+           CAST('0x' || printf('%016x', cell_id) AS BIGINT) AS reparsed,
+           ((cell_id & -{1 << (2 * (30 - 9))}) | {1 << (2 * (30 - 9))}) AS parent9,
+           12 AS level,
+           ROUND((CAST(tx AS DOUBLE) + 0.5) / {float(1 << 12)!r} * 360.0 - 180.0, 9) AS center_lon,
+           ROUND(DEGREES(ATAN({_center_sinh_sql(f"(CAST(ty AS DOUBLE) + 0.5) / {float(1 << 12)!r}")})), 9) AS center_lat
+    FROM pts
+    """,
+)
+def geo_cell_decode(spark, sf_dir):
+    """Cell-id decode surface (reference s2util F12-F15): hex token
+    round-trip, parent derivation, level recovery, center decode. The Spark
+    side decodes tile coords FROM the cell id (Morton compact); the oracle
+    recomputes them from source coords — decode correctness is the test."""
+    import numpy as np
+
+    df = _orders_points(spark, sf_dir)
+    df = C.with_cell(df, "lon", "lat", 12, "cell_id")
+    df = C.with_cell_tile_xy(df, "cell_id", 12, "__tx", "__ty")
+    n = float(1 << 12)
+    u = (F.col("__tx").cast("double") + 0.5) / F.lit(n)
+    v = (F.col("__ty").cast("double") + 0.5) / F.lit(n)
+    x = F.lit(float(np.pi)) * (F.lit(1.0) - F.lit(2.0) * v)
+    sinh_x = (F.exp(x) - F.exp(-x)) / F.lit(2.0)  # exp form matches oracle
+    hexcol = C.cell_to_hex_col(F.col("cell_id"))
+    return df.select(
+        "o_orderkey", "cell_id",
+        hexcol.alias("cell_hex"),
+        C.hex_to_cell_col(hexcol).alias("reparsed"),
+        C.cell_parent_col(F.col("cell_id"), 9).alias("parent9"),
+        C.cell_level_col(F.col("cell_id")).cast("int").alias("level"),
+        F.round(u * 360.0 - 180.0, 9).alias("center_lon"),
+        F.round(F.degrees(F.atan(sinh_x)), 9).alias("center_lat"),
     )
