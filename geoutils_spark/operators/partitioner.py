@@ -184,3 +184,44 @@ def repartition_by_range(df: DataFrame, cols: list[str], n: int) -> DataFrame:
     """Built-in alternative: RangePartitioner's internal reservoir sampling
     replaces the explicit stats pass (SURVEY.md §4)."""
     return df.repartitionByRange(n, *[F.col(c) for c in cols])
+
+
+def histogram_to_pgm(hist: list[tuple[int, int, int]], d: int, path: str,
+                     plan: "SplitNode | None" = None) -> str:
+    """Density heatmap as a binary PGM image (reference S10,
+    /root/reference/osmsplit/mapsplit.h:140-170: grayscale D×D counts with
+    split lines burned in at max intensity). Dependency-free diagnostic —
+    grayscale by count/max, split midlines at 255."""
+    grid = bytearray(d * d)
+    mx = max((c for _, _, c in hist), default=1)
+    for x, y, c in hist:
+        # y flipped: image row 0 = north/top (max y bucket)
+        grid[(d - 1 - y) * d + x] = min(254, int(254 * c / mx))
+    if plan is not None:
+        minx, miny, maxx, maxy = plan.bbox
+
+        def burn(node: "SplitNode") -> None:
+            if node.left is None:
+                return
+            if node.sort_by_lat:
+                row = int((node.mid - miny) / (maxy - miny) * d)
+                row = min(max(row, 0), d - 1)
+                x0 = int((node.bbox[0] - minx) / (maxx - minx) * d)
+                x1 = int((node.bbox[2] - minx) / (maxx - minx) * d)
+                for x in range(max(x0, 0), min(x1, d)):
+                    grid[(d - 1 - row) * d + x] = 255
+            else:
+                col = int((node.mid - minx) / (maxx - minx) * d)
+                col = min(max(col, 0), d - 1)
+                y0 = int((node.bbox[1] - miny) / (maxy - miny) * d)
+                y1 = int((node.bbox[3] - miny) / (maxy - miny) * d)
+                for y in range(max(y0, 0), min(y1, d)):
+                    grid[(d - 1 - y) * d + col] = 255
+            burn(node.left)
+            burn(node.right)
+
+        burn(plan)
+    with open(path, "wb") as f:
+        f.write(f"P5\n{d} {d}\n255\n".encode())
+        f.write(bytes(grid))
+    return path

@@ -1209,3 +1209,60 @@ def geo_cell_decode(spark, sf_dir):
         F.round(u * 360.0 - 180.0, 9).alias("center_lon"),
         F.round(F.degrees(F.atan(sinh_x)), 9).alias("center_lat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON + geodesy block (tag-map analog for webtext props; reference F7/F2)
+# ---------------------------------------------------------------------------
+
+from geoutils_spark.functions.geodesy import bearing_deg_col  # noqa: E402
+
+
+@register(
+    "rel_json_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def rel_json_extract(spark, sf_dir):
+    """Semi-structured projection: JSON props -> typed column -> rollup (the
+    webtext analog of the reference's dynamic tag-map access,
+    osmfeature.cpp:27-49)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.max(k).cast("long").alias("max_k"),
+    )
+
+
+_BEARING_DEG = (
+    "DEGREES(ATAN2("
+    f"SIN(RADIANS({_dbl(_CENTER[0])}) - RADIANS({_DLON})) * COS(RADIANS({_dbl(_CENTER[1])})), "
+    f"COS(RADIANS({_DLAT})) * SIN(RADIANS({_dbl(_CENTER[1])})) "
+    f"- SIN(RADIANS({_DLAT})) * COS(RADIANS({_dbl(_CENTER[1])})) "
+    f"* COS(RADIANS({_dbl(_CENTER[0])}) - RADIANS({_DLON}))"
+    "))"
+)
+
+
+@register(
+    "geo_bearing",
+    f"""
+    SELECT doc_id,
+           ROUND((({_BEARING_DEG}) % 360.0 + 360.0) % 360.0, 9) AS bearing
+    FROM documents
+    """,
+)
+def geo_bearing(spark, sf_dir):
+    """Initial bearing from each doc point to the fixture center (reference
+    F7, eigenconversion.cpp:133-144)."""
+    df = _documents_points(spark, sf_dir)
+    b = bearing_deg_col(F.col("lon"), F.col("lat"),
+                        F.lit(_CENTER[0]), F.lit(_CENTER[1]))
+    return df.select("doc_id", F.round(b, 9).alias("bearing"))

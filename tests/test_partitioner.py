@@ -92,3 +92,13 @@ def test_cell_sink_golden_partitions(spark, tmp_path):
     # round-trip read preserves rows
     back = spark.read.parquet(out)
     assert back.count() == 200
+
+
+def test_histogram_pgm(skewed_points, tmp_path):
+    hist = P.density_histogram(skewed_points, BBOX, d=64)
+    plan = P.build_split_plan(hist, BBOX, levels=2, d=64)
+    out = P.histogram_to_pgm(hist, 64, str(tmp_path / "density.pgm"), plan)
+    data = open(out, "rb").read()
+    assert data.startswith(b"P5\n64 64\n255\n")
+    assert len(data) == len(b"P5\n64 64\n255\n") + 64 * 64
+    assert max(data[13:]) == 255  # split lines burned in

@@ -99,3 +99,22 @@ def test_polyline_distance_kernel():
     assert abs(d[0] - 0.2) < 1e-12
     assert abs(d[1] - 1.0) < 1e-12
     assert abs(d[2] - 0.2) < 1e-12
+
+
+def test_salted_join_matches_unsalted(spark):
+    """Skew path: (cell_id, salt) keys + polygon replication must give the
+    identical result set as the plain join (SURVEY.md §4 salting)."""
+    from pyspark.sql import functions as F
+
+    from geoutils_spark.operators.spatial_join import spatial_join
+    from geoutils_spark.sources import fixtures
+
+    pages = fixtures.with_page_geo(fixtures.pages_df(spark, 3000, hot_fraction=0.5))
+    pts = pages.select("page_id", "lon", "lat")
+    polys = fixtures.polygons_df(spark).filter(F.col("kind") == "building")
+    plain = spatial_join(pts, polys, level=15, broadcast_polygons=False)
+    salted = spatial_join(pts, polys, level=15, broadcast_polygons=False,
+                          n_salt=8)
+    a = {(r.page_id, r.way_id) for r in plain.collect()}
+    b = {(r.page_id, r.way_id) for r in salted.collect()}
+    assert a == b and len(a) > 0
