@@ -151,3 +151,20 @@ def make_lla_to_ned_udf(origin: tuple[float, float, float]):
         return pd.DataFrame({"n": ned[:, 0], "e": ned[:, 1], "d": ned[:, 2]})
 
     return lla_to_ned
+
+
+def make_lla_to_ecef_udf():
+    """Arrow-batched UDF: (lon, lat) at alt=0 -> struct<x,y,z> ECEF meters."""
+
+    schema = T.StructType([
+        T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType()),
+        T.StructField("z", T.DoubleType()),
+    ])
+
+    @F.pandas_udf(schema)
+    def lla_to_ecef(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        xyz = lla_to_ecef_np(lon.to_numpy(), lat.to_numpy(),
+                             np.zeros(len(lon)))
+        return pd.DataFrame({"x": xyz[:, 0], "y": xyz[:, 1], "z": xyz[:, 2]})
+
+    return lla_to_ecef

@@ -1266,3 +1266,149 @@ def geo_bearing(spark, sf_dir):
     b = bearing_deg_col(F.col("lon"), F.col("lat"),
                         F.lit(_CENTER[0]), F.lit(_CENTER[1]))
     return df.select("doc_id", F.round(b, 9).alias("bearing"))
+
+
+# ---------------------------------------------------------------------------
+# ECEF / weighted-median / scalar-subquery / mesh-merge block
+# (reference F2, A5, A6; subquery decorrelation is Catalyst-free coverage)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "geo_ecef",
+    f"""
+    SELECT doc_id,
+           ROUND((6378137.0 / SQRT(1.0 - 0.0066943799901413165 * SIN(RADIANS({_DLAT})) * SIN(RADIANS({_DLAT}))))
+                 * COS(RADIANS({_DLAT})) * COS(RADIANS({_DLON})), 6) AS ecef_x,
+           ROUND((6378137.0 / SQRT(1.0 - 0.0066943799901413165 * SIN(RADIANS({_DLAT})) * SIN(RADIANS({_DLAT}))))
+                 * COS(RADIANS({_DLAT})) * SIN(RADIANS({_DLON})), 6) AS ecef_y,
+           ROUND((6378137.0 / SQRT(1.0 - 0.0066943799901413165 * SIN(RADIANS({_DLAT})) * SIN(RADIANS({_DLAT}))))
+                 * (1.0 - 0.0066943799901413165) * SIN(RADIANS({_DLAT})), 6) AS ecef_z
+    FROM documents
+    """,
+)
+def geo_ecef(spark, sf_dir):
+    """WGS84 LLA -> ECEF through the Arrow-batched numpy kernel (reference
+    F2, eigenconversion.cpp:51-61 — array-vectorized there too); alt=0 so
+    the oracle's closed form matches to a micrometer."""
+    from geoutils_spark.functions.geodesy import make_lla_to_ecef_udf
+
+    df = _documents_points(spark, sf_dir)
+    e = make_lla_to_ecef_udf()(F.col("lon"), F.col("lat"))
+    return df.select(
+        "doc_id",
+        F.round(e["x"], 6).alias("ecef_x"),
+        F.round(e["y"], 6).alias("ecef_y"),
+        F.round(e["z"], 6).alias("ecef_z"),
+    )
+
+
+@register(
+    "rel_weighted_median",
+    """
+    WITH buckets AS (
+      SELECT event_type, CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bucket, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum_n,
+             SUM(n) OVER (PARTITION BY event_type) AS total_n
+      FROM buckets
+    )
+    SELECT event_type, CAST(MIN(bucket) AS BIGINT) AS median_bucket
+    FROM cum WHERE cum_n * 2 >= total_n GROUP BY event_type
+    """,
+)
+def rel_weighted_median(spark, sf_dir):
+    """A5 weighted-median split point (mapsplit.h:65-88): histogram ->
+    cumulative window -> first bucket at half mass. The exact prefix-sum
+    formulation, not percentile_approx."""
+    e = _t(spark, sf_dir, "events")
+    b = (
+        e.withColumn("bucket", F.floor(F.col("value") / 10.0).cast("long"))
+        .groupBy("event_type", "bucket").agg(F.count("*").alias("n"))
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("bucket")
+    w_tot = Window.partitionBy("event_type")
+    cum = (
+        b.withColumn("cum_n", F.sum("n").over(w_cum))
+        .withColumn("total_n", F.sum("n").over(w_tot))
+    )
+    return (
+        cum.filter(F.col("cum_n") * 2 >= F.col("total_n"))
+        .groupBy("event_type").agg(F.min("bucket").cast("long").alias("median_bucket"))
+    )
+
+
+@register(
+    "rel_scalar_subquery",
+    """
+    SELECT o.o_orderpriority AS priority, COUNT(*) AS n_above
+    FROM orders o
+    WHERE o.o_totalprice > (
+      SELECT AVG(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    GROUP BY 1
+    """,
+)
+def rel_scalar_subquery(spark, sf_dir):
+    """Correlated scalar subquery (orders above their customer's average) —
+    expressed as agg+join in the engine; Catalyst decorrelates the SQL form
+    identically (SURVEY.md §4: nothing to port)."""
+    o = _t(spark, sf_dir, "orders")
+    avg = o.groupBy("o_custkey").agg(F.avg("o_totalprice").alias("cust_avg"))
+    return (
+        o.join(avg, on="o_custkey")
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("n_above"))
+    )
+
+
+@register(
+    "geom_mesh_merge",
+    f"""
+    WITH b AS (
+      SELECT UNNEST(range({_N_BUILDINGS})) AS way_id
+    ),
+    hb AS (SELECT way_id, {_height_case_sql('way_id')} AS h FROM b)
+    SELECT CAST(h AS DOUBLE) AS height,
+           COUNT(*) AS n_meshes,
+           CAST(8 * COUNT(*) AS BIGINT) AS total_vertices,
+           CAST(12 * COUNT(*) AS BIGINT) AS total_faces,
+           CAST(8 * COUNT(*) - 1 AS BIGINT) AS max_face_idx
+    FROM hb GROUP BY h
+    """,
+)
+def geom_mesh_merge(spark, sf_dir):
+    """A6 mesh merge (assimpwriter.cpp:32-92): concat vertex arrays per
+    group and rebase face indices by the running vertex offset (window
+    cumsum), exactly the memcpy+shift the reference does — validated by the
+    max rebased index."""
+    from geoutils_spark.functions import osmtags as OT2
+    from geoutils_spark.operators.extrude import extrude_polygons
+
+    polys = fixtures.polygons_df(spark).filter(F.col("kind") == "building")
+    polys = polys.withColumn("height", OT2.height_col(F.col("tags")))
+    mesh = extrude_polygons(polys, "height")
+    mesh = polys.select("way_id", "height").join(mesh, on="way_id")
+    w = (Window.partitionBy("height").orderBy("way_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    mesh = mesh.withColumn("v_offset",
+                           F.coalesce(F.sum("n_vertices").over(w), F.lit(0)))
+    rebased_max = F.aggregate(
+        F.flatten("faces"), F.lit(0),
+        lambda acc, i: F.greatest(acc, i + F.col("v_offset").cast("int")),
+    )
+    return (
+        mesh.withColumn("rebased_max", rebased_max)
+        .groupBy("height")
+        .agg(
+            F.count("*").alias("n_meshes"),
+            F.sum("n_vertices").cast("long").alias("total_vertices"),
+            F.sum("n_faces").cast("long").alias("total_faces"),
+            F.max("rebased_max").cast("long").alias("max_face_idx"),
+        )
+    )

@@ -79,3 +79,37 @@ def test_streaming_cell_counts(spark, events_batch, events_stream):
     cols = ["window_start", "cell_id", "n"]
     assert _rows(got, cols) == _rows(batch, cols)
     assert got.count() > 1
+
+
+def test_stateful_sessionize_matches_batch(spark, events_batch, tmp_path_factory):
+    """applyInPandasWithState sessionization == the oracle-checked batch
+    window-lag sessionization (rel_sessionize), fed availableNow."""
+    from pyspark.sql import Window
+
+    from geoutils_spark.streaming.sessions import sessionize_stream
+
+    d = str(tmp_path_factory.mktemp("events_sess"))
+    events_batch.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(events_batch.schema).parquet(d)
+    out = sessionize_stream(stream)
+    q = (out.writeStream.format("memory").queryName("sess_q")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    # update mode: last emitted row per user is the final state
+    got = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in spark.sql(
+            "SELECT user_id, n_sessions, n_events FROM "
+            "(SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn "
+            " FROM sess_q) WHERE rn = 1").collect()
+    }
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap > 1800, 1).when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    want = {
+        r.user_id: (r.ns, r.ne)
+        for r in events_batch.withColumn("ns1", new_sess).groupBy("user_id")
+        .agg(F.sum("ns1").cast("long").alias("ns"), F.count("*").alias("ne"))
+        .collect()
+    }
+    assert got == want
