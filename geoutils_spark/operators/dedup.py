@@ -119,6 +119,12 @@ def minhash_lsh_pairs(
         F.explode(band_keys_col(F.col("__sig"), bands, rows_per_band)).alias("__bk"),
     ).select("__id", "__sig", "__sh",
              F.col("__bk.band").alias("__band"), F.col("__bk.key").alias("__key"))
+    # Materialize signatures through an exchange before the self-join: the
+    # join's sort then reads plain attributes instead of the inlined
+    # signature expression tree (which blows whole-stage codegen past 64KB
+    # and drops the sort to interpreted mode). The shuffle is not extra
+    # work — a shuffle join needs this exchange anyway.
+    banded = banded.repartition(F.col("__band"), F.col("__key"))
     a = banded.select(F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"),
                       F.col("__sh").alias("sh_a"), "__band", "__key")
     b = banded.select(F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b"),

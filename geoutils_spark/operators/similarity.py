@@ -81,33 +81,57 @@ def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int,
 # IVF: nearest-centroid bucketing + nprobe search
 # ---------------------------------------------------------------------------
 
+def norm_chain_col(vec: Column, dim: int = EMB_DIM) -> Column:
+    """sqrt(dot(v, v)) as the same chain sum — factor it out ONCE per row
+    so each centroid comparison costs one dot product, not three."""
+    return F.sqrt(dot_chain_col(vec, vec, dim))
+
+
+def _centroid_norm(cvec: list[float], dim: int) -> float:
+    """Python-side sqrt(dot(c, c)) with the identical left-to-right order —
+    bit-for-bit the value the SQL oracle's chain computes."""
+    import math
+
+    acc = cvec[0] * cvec[0]
+    for i in range(1, dim):
+        acc = acc + cvec[i] * cvec[i]
+    return math.sqrt(acc)
+
+
 def assign_centroid_col(vec: Column, centroids: list[tuple[int, list[float]]],
-                        dim: int = EMB_DIM) -> Column:
+                        dim: int = EMB_DIM,
+                        vnorm: Column | None = None) -> Column:
     """Row-local argmax of cosine(vec, centroid) over a broadcast centroid
     list; ties broken by centroid id (asc). Expressed as array_min over
     (negsim, cid) structs — linear expression size (a when-chain would double
-    the Catalyst tree per centroid)."""
+    the Catalyst tree per centroid). Pass a materialized ``vnorm`` column so
+    the per-centroid cost is one dot product (cosine factored as
+    dot / (|v| * |c|) with |c| a driver-side constant — identical IEEE value
+    to the full chain, 3x less codegen)."""
+    if vnorm is None:
+        vnorm = norm_chain_col(vec, dim)
     entries = []
     for cid, cvec in centroids:
         carr = F.array(*[F.lit(float(x)) for x in cvec])
-        entries.append(F.struct(
-            (-cosine_chain_col(vec, carr, dim)).alias("negsim"),
-            F.lit(cid).alias("cid"),
-        ))
+        cn = _centroid_norm(cvec, dim)
+        sim = dot_chain_col(vec, carr, dim) / (vnorm * F.lit(cn))
+        entries.append(F.struct((-sim).alias("negsim"), F.lit(cid).alias("cid")))
     return F.array_min(F.array(*entries))["cid"]
 
 
 def top_centroids_col(vec: Column, centroids: list[tuple[int, list[float]]],
-                      nprobe: int, dim: int = EMB_DIM) -> Column:
+                      nprobe: int, dim: int = EMB_DIM,
+                      vnorm: Column | None = None) -> Column:
     """Array of the ``nprobe`` nearest centroid ids (sim desc, id asc) —
     expressed as sort of a small literal-size array, row-local."""
+    if vnorm is None:
+        vnorm = norm_chain_col(vec, dim)
     entries = []
     for cid, cvec in centroids:
         carr = F.array(*[F.lit(float(x)) for x in cvec])
-        entries.append(F.struct(
-            (-cosine_chain_col(vec, carr, dim)).alias("negsim"),
-            F.lit(cid).alias("cid"),
-        ))
+        cn = _centroid_norm(cvec, dim)
+        sim = dot_chain_col(vec, carr, dim) / (vnorm * F.lit(cn))
+        entries.append(F.struct((-sim).alias("negsim"), F.lit(cid).alias("cid")))
     arr = F.array_sort(F.array(*entries))  # struct sort: negsim asc, cid asc
     return F.transform(F.slice(arr, 1, nprobe), lambda s: s["cid"])
 
@@ -118,13 +142,20 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame,
              vec: str = "e", qvec: str = "qe") -> DataFrame:
     """IVF ANN: vectors bucketed by nearest centroid; each query probes its
     ``nprobe`` nearest buckets; exact cosine + windowed top-k inside."""
-    v = vectors.withColumn("__bucket", assign_centroid_col(F.col(vec), centroids))
-    q = queries.withColumn(
-        "__bucket", F.explode(top_centroids_col(F.col(qvec), centroids, nprobe)))
+    v = vectors.withColumn("__vn", norm_chain_col(F.col(vec)))
+    v = v.withColumn("__bucket",
+                     assign_centroid_col(F.col(vec), centroids, vnorm=F.col("__vn")))
+    q = queries.withColumn("__qn", norm_chain_col(F.col(qvec)))
+    q = q.withColumn(
+        "__bucket",
+        F.explode(top_centroids_col(F.col(qvec), centroids, nprobe,
+                                    vnorm=F.col("__qn"))))
     cand = (
         F.broadcast(q).join(v, on="__bucket")
         .filter(F.col(v_id) != F.col(q_id))
-        .withColumn("sim", cosine_chain_col(F.col(qvec), F.col(vec)))
+        # factored cosine: identical IEEE value to the full chain
+        .withColumn("sim", dot_chain_col(F.col(qvec), F.col(vec))
+                    / (F.col("__qn") * F.col("__vn")))
     )
     w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(v_id).asc())
     return (
