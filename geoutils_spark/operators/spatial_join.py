@@ -165,6 +165,62 @@ def spatial_join(points: DataFrame, polygons: DataFrame, level: int,
     return joined.select(*point_cols, "way_id", "cell_id")
 
 
+def spatial_join_adaptive(points: DataFrame, polygons: DataFrame,
+                          fine_level: int, coarse_level: int,
+                          lon: str = "lon", lat: str = "lat",
+                          point_cols: tuple = ("page_id",),
+                          max_fine_cells: int = 64,
+                          broadcast_polygons: bool = True,
+                          exact: bool = True) -> DataFrame:
+    """Two-level spatial join: small polygons index at ``fine_level``, large
+    ones at ``coarse_level`` (SURVEY.md §4 "two-level cell refinement").
+
+    At scale a single level can't fit both: city-block polygons want fine
+    cells (selective candidates), country-sized ones would explode to
+    millions of fine cells (the ``max_cells`` guard). Points carry ONE fine
+    cell; the coarse join key is its parent — a row-local bit truncation, so
+    the fact table still computes exactly one cell id and never shuffles.
+    Results are the exact union of the two passes (each polygon joins in
+    exactly one pass).
+    """
+    n_fine = (
+        F.col("__x1") - F.col("__x0") + 1) * (F.col("__y1") - F.col("__y0") + 1)
+    probe = C.with_tile_xy(polygons, "bbox.minx", "bbox.maxy", fine_level, "__x0", "__y0")
+    probe = C.with_tile_xy(probe, "bbox.maxx", "bbox.miny", fine_level, "__x1", "__y1")
+    probe = probe.withColumn("__n_fine", n_fine).drop("__x0", "__y0", "__x1", "__y1")
+    small = probe.filter(F.col("__n_fine") <= max_fine_cells).drop("__n_fine")
+    large = probe.filter(F.col("__n_fine") > max_fine_cells).drop("__n_fine")
+
+    pts = C.with_cell(points, lon, lat, fine_level, "cell_id")
+    pts_coarse = pts.withColumn(
+        "cell_id", C.cell_parent_col(F.col("cell_id"), coarse_level))
+
+    out_small = _join_prepared(pts, small, fine_level, lon, lat,
+                               point_cols, broadcast_polygons, exact)
+    out_large = _join_prepared(pts_coarse, large, coarse_level, lon, lat,
+                               point_cols, broadcast_polygons, exact)
+    return out_small.unionByName(out_large)
+
+
+def _join_prepared(pts: DataFrame, polygons: DataFrame, level: int,
+                   lon: str, lat: str, point_cols: tuple,
+                   broadcast_polygons: bool, exact: bool) -> DataFrame:
+    polys = with_covering_cells(polygons, level)
+    polys = polys.select(
+        "way_id",
+        F.explode("cells").alias("cell_id"),
+        F.col("ring.lon").alias("__rx"),
+        F.col("ring.lat").alias("__ry"),
+    )
+    right = F.broadcast(polys) if broadcast_polygons else polys
+    joined = pts.join(right, on="cell_id", how="inner")
+    if exact:
+        joined = joined.filter(
+            point_in_polygon_udf(F.col(lon), F.col(lat), F.col("__rx"), F.col("__ry"))
+        )
+    return joined.select(*point_cols, "way_id", "cell_id")
+
+
 def polyline_join(points: DataFrame, lines: DataFrame, level: int,
                   tolerance_deg: float,
                   lon: str = "lon", lat: str = "lat",

@@ -57,3 +57,31 @@ def test_job_summary_persisted(spark, tmp_path):
     with open(os.path.join(out, M.JOB_FILE)) as f:
         job = json.load(f)
     assert job["partitions_written"] == 5 and job["rows_written"] == 300
+
+
+def test_pages_partition_spec(spark, tmp_path):
+    """tables.write_pages_partitioned lays down the north-rule (cell, month)
+    hive spec; partition pruning hits the directory level."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from geoutils_spark.sources import fixtures, tables
+
+    pages = fixtures.with_page_geo(fixtures.pages_df(spark, 500))
+    out = str(tmp_path / "pages_tbl")
+    tables.write_pages_partitioned(
+        pages.select("page_id", "lon", "lat", "warc_ts"), out, cell_level=8)
+    parts = [d for d in os.listdir(out) if d.startswith("cell_part=")]
+    assert parts
+    months = {
+        m for p in parts
+        for m in os.listdir(os.path.join(out, p)) if m.startswith("ts_month=")
+    }
+    assert len(months) >= 2  # warc_ts spans the year
+    back = tables.read_table(spark, out)
+    assert back.count() == 500
+    # pruning: one month filter scans a subset of files
+    one = sorted(months)[0].split("=")[1]
+    n = back.filter(F.col("ts_month") == one).count()
+    assert 0 < n < 500

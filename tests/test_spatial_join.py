@@ -118,3 +118,43 @@ def test_salted_join_matches_unsalted(spark):
     a = {(r.page_id, r.way_id) for r in plain.collect()}
     b = {(r.page_id, r.way_id) for r in salted.collect()}
     assert a == b and len(a) > 0
+
+
+def test_adaptive_two_level_join_matches_single_level(spark):
+    """Mixed polygon sizes: tiny fixture buildings + one polygon covering the
+    whole extent. Adaptive two-level result == single-level result (where a
+    single level can even run), and the big polygon matches every point."""
+    from pyspark.sql import functions as F
+
+    from geoutils_spark.constants import LONDON_EXTENTS
+    from geoutils_spark.operators.spatial_join import (
+        spatial_join,
+        spatial_join_adaptive,
+    )
+    from geoutils_spark.sources import fixtures
+
+    pages = fixtures.with_page_geo(fixtures.pages_df(spark, 2000))
+    pts = pages.select("page_id", "lon", "lat")
+    small = fixtures.polygons_df(spark).filter(F.col("kind") == "building")
+    lon0, lat0, lon1, lat1 = LONDON_EXTENTS
+    pad = 0.001
+    ring = [(lon0 - pad, lat0 - pad), (lon1 + pad, lat0 - pad),
+            (lon1 + pad, lat1 + pad), (lon0 - pad, lat1 + pad),
+            (lon0 - pad, lat0 - pad)]
+    big = spark.createDataFrame(
+        [{"way_id": 999, "kind": "big", "tags": {},
+          "ring": [{"lon": x, "lat": y} for x, y in ring],
+          "bbox": {"minx": lon0 - pad, "miny": lat0 - pad,
+                   "maxx": lon1 + pad, "maxy": lat1 + pad}}],
+        fixtures.POLYGON_SCHEMA)
+    polys = small.unionByName(big)
+    # single-level at 13 fits both sizes (extent ~ a few L13 cells)
+    base = {(r.page_id, r.way_id)
+            for r in spatial_join(pts, polys, level=13).collect()}
+    adap = {(r.page_id, r.way_id)
+            for r in spatial_join_adaptive(
+                pts, polys, fine_level=15, coarse_level=11,
+                max_fine_cells=16).collect()}
+    assert adap == base
+    n_pts = pts.count()
+    assert sum(1 for _, w in adap if w == 999) == n_pts
