@@ -1412,3 +1412,98 @@ def geom_mesh_merge(spark, sf_dir):
             F.max("rebased_max").cast("long").alias("max_face_idx"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Adaptive join / valued zonal / dedup decision block
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "geo_spatial_join_adaptive",
+    ORACLE_SQL["geo_spatial_join"],
+)
+def geo_spatial_join_adaptive(spark, sf_dir):
+    """Two-level adaptive spatial join (SURVEY §4 hot-cell refinement). All
+    fixture buildings are small, so the adaptive result must equal the
+    single-level oracle exactly — the coarse path contributes zero rows
+    here and is exercised for non-interference."""
+    from geoutils_spark.operators.spatial_join import spatial_join_adaptive
+
+    pts = _orders_points(spark, sf_dir).withColumnRenamed("o_orderkey", "page_id")
+    polys = fixtures.polygons_df(spark).filter(F.col("kind") == "building")
+    out = spatial_join_adaptive(pts, polys, fine_level=15, coarse_level=11,
+                                max_fine_cells=64)
+    return out.select("page_id", "way_id")
+
+
+@register(
+    "geo_zonal_value",
+    f"""
+    WITH pts AS (
+      SELECT o_orderkey, o_totalprice,
+             {C.tile_x_sql(_LON, 15)} AS tx, {C.tile_y_sql(_LAT, 15)} AS ty
+      FROM orders
+    ),
+    raster AS (
+      SELECT tx, ty, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+             MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+      FROM pts GROUP BY tx, ty
+    ),
+    grid AS ({_grid_sql()}),
+    bounds AS (
+      SELECT way_id,
+             {C.tile_x_sql('minx', 15)} AS x0, {C.tile_x_sql('maxx', 15)} AS x1,
+             {C.tile_y_sql('maxy', 15)} AS y0, {C.tile_y_sql('miny', 15)} AS y1
+      FROM grid
+    )
+    SELECT b.way_id, COUNT(*) AS n_cells,
+           CAST(SUM(r.n) AS BIGINT) AS n_points,
+           CAST(SUM(CAST(r.sv AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           MIN(r.mn) AS min_value, MAX(r.mx) AS max_value
+    FROM raster r JOIN bounds b
+      ON r.tx BETWEEN b.x0 AND b.x1 AND r.ty BETWEEN b.y0 AND b.y1
+    GROUP BY b.way_id
+    """,
+)
+def geo_zonal_value(spark, sf_dir):
+    """Zonal stats with a value band (sum/min/max of order totalprice per
+    polygon) — the raster/vector rollup carrying measures, DECIMAL-summed
+    for order independence."""
+    from geoutils_spark.operators.zonal import zonal_stats
+
+    pts = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("val"),
+        K.key_lon_col(F.col("o_orderkey")).alias("lon"),
+        K.key_lat_col(F.col("o_orderkey")).alias("lat"),
+    )
+    polys = fixtures.polygons_df(spark).filter(F.col("kind") == "building")
+    out = zonal_stats(pts, polys, level=15, value="val")
+    return out.select(
+        "way_id", "n_cells", F.col("n_points").cast("long").alias("n_points"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("min_value").cast("double").alias("min_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )
+
+
+@register(
+    "dedup_drop_list",
+    f"""
+    WITH corpus AS ({_DOCS_MUTANTS_SQL}),
+    pairs AS ({DD.minhash_lsh_pairs_sql('corpus', min_est_jaccard=0.5)})
+    SELECT DISTINCT id_b AS drop_id FROM pairs WHERE exact_jaccard >= 0.7
+    """,
+)
+def dedup_drop_list(spark, sf_dir):
+    """End-to-end dedup decision: greedy keep-smallest-id — a document is
+    dropped iff it near-duplicates (exact Jaccard >= 0.7) some smaller-id
+    document. The corpus-dedup action LSH candidates exist to drive."""
+    corpus = _docs_with_mutants(spark, sf_dir)
+    pairs = DD.minhash_lsh_pairs(corpus, min_est_jaccard=0.5)
+    return (
+        pairs.filter(F.col("exact_jaccard") >= 0.7)
+        .select(F.col("id_b").alias("drop_id")).distinct()
+    )
