@@ -405,3 +405,66 @@ def embedding_near_dup_sql(vectors_cte: str, id_col: str = "vec_id",
     FROM v a JOIN v b ON a.__bucket = b.__bucket AND a.__id < b.__id
     WHERE {cos} >= {threshold!r}
     """
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters: connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+    """(node_id, component_id) with component_id = min id reachable —
+    iterative min-label propagation over the undirected pair graph.
+
+    Near-dup pairs chain (A~B, B~C but not A~C); keep-one-per-cluster dedup
+    needs the transitive closure, not raw pairs. Each iteration is one
+    groupBy(min) + one join, converging in O(log(diameter)) rounds for the
+    short chains dedup graphs have; iteration count is checked and overrun
+    raises rather than returning a wrong clustering.
+
+    Scale shape: edges stay partitioned by node; labels is a (node, long)
+    table orders of magnitude smaller than the corpus. This is the standard
+    iterative-algorithm escape hatch — deliberately NOT expressible as one
+    SQL query (the driver records it as a rows-only check).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    for _ in range(max_iter):
+        # neighbor minimum, including self
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src").agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp")))
+                .alias("comp"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()  # cut the iterative lineage
+        changed = (
+            labels.alias("o").join(new_labels.alias("n"), "node")
+            .filter(F.col("o.comp") != F.col("n.comp")).limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("node"), F.col("comp").alias("component_id"))
+    raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+
+
+def dedup_keepers(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                  max_iter: int = 20) -> DataFrame:
+    """(node, component_id, keep) — transitive-closure dedup decision:
+    keep exactly the minimum id of every duplicate cluster."""
+    cc = connected_components(pairs, id_a, id_b, max_iter)
+    return cc.withColumn("keep", F.col("node") == F.col("component_id"))

@@ -1507,3 +1507,49 @@ def dedup_drop_list(spark, sf_dir):
         pairs.filter(F.col("exact_jaccard") >= 0.7)
         .select(F.col("id_b").alias("drop_id")).distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-module batch parity + iterative dedup clusters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_hourly_batch",
+    """
+    SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS hour_bucket,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_hourly_batch(spark, sf_dir):
+    """The streaming module's watermarked tumbling-window operator run on a
+    batch frame (unified API): window.start must equal the oracle's
+    floor(epoch/3600) bucket — the batch/stream parity contract, driver
+    checked."""
+    from geoutils_spark.streaming.windows import hourly_event_counts
+
+    e = _t(spark, sf_dir, "events")
+    out = hourly_event_counts(e)
+    return out.select(
+        (F.unix_timestamp("window_start") / 3600).cast("long").alias("hour_bucket"),
+        "event_type", "n", "total_value",
+    )
+
+
+@register("dedup_components")  # iterative — no single-SQL oracle (rows-only)
+def dedup_components(spark, sf_dir):
+    """Duplicate clusters: transitive closure over the LSH near-dup pair
+    graph via iterative min-label propagation (operators/dedup.py
+    connected_components). Deliberately registered WITHOUT an oracle twin:
+    the algorithm is iterative (SURVEY §2.8 escape hatch) — the driver
+    records the rows-only check; correctness is pinned by
+    tests/test_dedup.py::test_connected_components_*."""
+    corpus = _docs_with_mutants(spark, sf_dir)
+    pairs = DD.minhash_lsh_pairs(corpus, min_est_jaccard=0.5).filter(
+        F.col("exact_jaccard") >= 0.7)
+    from geoutils_spark.operators.dedup import dedup_keepers
+
+    return dedup_keepers(pairs).select(
+        "node", "component_id", F.col("keep").cast("boolean").alias("keep"))

@@ -78,3 +78,25 @@ def test_embedding_near_dup(spark):
     assert {(0, 3), (1, 4), (2, 5)} <= got
     for r in pairs:
         assert r.cosine >= 0.999
+
+
+def test_connected_components_chain(spark):
+    """A~B, B~C, D~E: two clusters, min-id canonical labels."""
+    from geoutils_spark.operators.dedup import connected_components, dedup_keepers
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (3, 7)], "id_a long, id_b long")
+    cc = {r.node: r.component_id for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+    keep = {r.node: r.keep for r in dedup_keepers(pairs).collect()}
+    assert keep == {1: True, 2: False, 3: False, 7: False, 10: True, 11: False}
+
+
+def test_connected_components_on_lsh_pairs(corpus):
+    from geoutils_spark.operators.dedup import connected_components
+
+    pairs = DD.minhash_lsh_pairs(corpus, min_est_jaccard=0.3)
+    cc = connected_components(pairs).collect()
+    comp = {r.node: r.component_id for r in cc}
+    assert comp[100] == 0  # mutant clusters with its source
+    assert comp[101] == 1
