@@ -43,8 +43,28 @@ _NAMED_ENTITIES = [
     ("&apos;", "'"),
     ("&amp;", "&"),  # must be last
 ]
+# One-pass form of the six sequential fixed replaces. Equivalent because no
+# replacement string can create a new named entity for a pass ordered after
+# it: replacements emit single chars, and the only '&'-emitter (&amp;) is
+# LAST in the sequential order, so its output is never rescanned there
+# either. (Proven byte-identical by the fuzz test.)
+_RE_NAMED = re.compile("|".join(e for e, _ in _NAMED_ENTITIES))
+_NAMED_MAP = dict(_NAMED_ENTITIES)
+
+
+def _decode_named(m: re.Match) -> str:
+    return _NAMED_MAP[m.group(0)]
+
+
 _RE_HSPACE = re.compile(r"[ \t\r\f\v]+")
 _RE_NLRUN = re.compile(r" ?\n[ \n]*")
+# Fast forms that skip the overwhelmingly-common no-op matches (a lone
+# space / a lone newline replaced by itself). Byte-identical outputs:
+# maximal hspace runs of length >= 2 and lone non-space hspace chars still
+# collapse to one space; a lone "\n" with no adjacent space/newline was
+# replaced by "\n" before — now simply untouched.
+_RE_HSPACE_FAST = re.compile(r"[ \t\r\f\v]{2,}|[\t\r\f\v]")
+_RE_NLRUN_FAST = re.compile(r" \n[ \n]*|\n[ \n]+")
 
 
 def _decode_dec(m: re.Match) -> str:
@@ -59,6 +79,23 @@ def _decode_hex(m: re.Match) -> str:
 
 def extract_text_series(html: pd.Series) -> pd.Series:
     """bytes Series -> extracted-text Series (the one true implementation)."""
+    s = html.str.decode("utf-8", errors="replace")
+    s = s.str.replace(_RE_COMMENT, " ", regex=True)
+    s = s.str.replace(_RE_DROPBLOCK, " ", regex=True)
+    s = s.str.replace(_RE_BLOCKTAG, "\n", regex=True)
+    s = s.str.replace(_RE_ANYTAG, " ", regex=True)
+    s = s.str.replace(_RE_ENT_DEC, _decode_dec, regex=True)
+    s = s.str.replace(_RE_ENT_HEX, _decode_hex, regex=True)
+    s = s.str.replace(_RE_NAMED, _decode_named, regex=True)
+    s = s.str.replace(_RE_HSPACE_FAST, " ", regex=True)
+    s = s.str.replace(_RE_NLRUN_FAST, "\n", regex=True)
+    return s.str.strip(" \n")
+
+
+def extract_text_series_v1_reference(html: pd.Series) -> pd.Series:
+    """The original pass-by-pass formulation, kept as the equivalence
+    reference for the fused/fast passes (fuzz-tested byte-identical).
+    Not on any hot path."""
     s = html.str.decode("utf-8", errors="replace")
     s = s.str.replace(_RE_COMMENT, " ", regex=True)
     s = s.str.replace(_RE_DROPBLOCK, " ", regex=True)

@@ -55,3 +55,47 @@ def test_fixture_pages_text_is_reproducible(spark):
     p2 = pages_df(spark, 300).select("page_id", "text").orderBy("page_id").toPandas()
     digest2 = hashlib.sha256("\x00".join(p2.text).encode()).hexdigest()
     assert digest == digest2
+
+
+def test_fast_passes_byte_identical_fuzz():
+    """The fused named-entity pass and the skip-noop hspace/nlrun patterns
+    must be byte-identical to the original sequential formulation — fuzzed
+    with hypothesis over entity-dense and whitespace-dense strings."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from geoutils_spark.functions.textextract import (
+        extract_text_series,
+        extract_text_series_v1_reference,
+    )
+
+    atoms = st.sampled_from([
+        "&amp;", "&lt;", "&gt;", "&quot;", "&apos;", "&nbsp;", "&", ";",
+        "&#38;", "&#x26;", "&#8364;", "&amp;lt;", "&&amp;nbsp;", "amp;",
+        " ", "  ", "\t", "\n", "\n\n", " \n", "\r", "x", "yz", "<p>", "</p>",
+        "<script>a</script>", "<!--c-->", "<b>", "q",
+    ])
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(atoms, min_size=0, max_size=30))
+    def check(parts):
+        s = pd.Series(["".join(parts).encode()])
+        assert extract_text_series(s).iloc[0] == \
+            extract_text_series_v1_reference(s).iloc[0]
+
+    check()
+
+
+def test_fast_passes_byte_identical_fixture_corpus(spark):
+    from pyspark.sql import functions as F
+
+    from geoutils_spark.functions.textextract import (
+        extract_text_series,
+        extract_text_series_v1_reference,
+    )
+    from geoutils_spark.sources.fixtures import pages_df
+
+    html = pages_df(spark, 500).select("html").toPandas().html
+    a = extract_text_series(html)
+    b = extract_text_series_v1_reference(html)
+    assert (a == b).all()
