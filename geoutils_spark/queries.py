@@ -1553,3 +1553,90 @@ def dedup_components(spark, sf_dir):
 
     return dedup_keepers(pairs).select(
         "node", "component_id", F.col("keep").cast("boolean").alias("keep"))
+
+
+# ---------------------------------------------------------------------------
+# As-of join (temporal most-recent-prior; absent from the reference —
+# SURVEY §2.5 — and from Spark; oracle is DuckDB's NATIVE ASOF JOIN)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_asof_join",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS last_order
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, r.last_order
+    FROM events e ASOF LEFT JOIN r
+      ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+)
+def rel_asof_join(spark, sf_dir):
+    """Each event joined to the user's most recent order at-or-before the
+    event time. Engine: union-tag + one window pass per key (no range-join
+    blowup); oracle: DuckDB's native ASOF JOIN — two independent
+    implementations of the same semantics."""
+    from geoutils_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id",
+                                           F.col("ts").cast("timestamp").alias("ts"))
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"),
+                 F.col("o_orderdate").cast("timestamp").alias("odate"))
+        .agg(F.max("o_orderkey").alias("last_order"))
+    )
+    out = asof_join(e, o, on="user_id", left_ts="ts", right_ts="odate",
+                    value_cols=["last_order"])
+    return out.select("event_id", "last_order")
+
+
+@register(
+    "rel_rollup_orders",
+    f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS {_D})) AS DOUBLE) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rel_rollup_orders(spark, sf_dir):
+    """ROLLUP grouping sets (hierarchical subtotals; free in Spark —
+    SURVEY §2.6 notes the reference has none)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast(_D)).cast("double").alias("total"),
+    )
+
+
+@register(
+    "text_ngram_topk",
+    f"""
+    WITH sh AS (
+      SELECT lang, UNNEST({TA.word_shingles_sql('text', 2)}) AS gram
+      FROM documents
+    ),
+    counted AS (
+      SELECT lang, gram, COUNT(*) AS n FROM sh GROUP BY lang, gram
+    )
+    SELECT lang, gram, n, rank FROM (
+      SELECT lang, gram, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, gram ASC) AS rank
+      FROM counted
+    ) WHERE rank <= 5
+    """,
+)
+def text_ngram_topk(spark, sf_dir):
+    """Top-5 word bigrams per language (corpus n-gram frequency analysis):
+    distinct-per-doc shingles -> global count -> windowed top-k."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select("lang", F.explode(TA.word_shingles_col(F.col("text"), 2)).alias("gram"))
+    counted = sh.groupBy("lang", "gram").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("gram").asc())
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "gram", "n", F.col("rank").cast("long").alias("rank"))
+    )
