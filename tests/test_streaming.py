@@ -113,3 +113,23 @@ def test_stateful_sessionize_matches_batch(spark, events_batch, tmp_path_factory
         .collect()
     }
     assert got == want
+
+
+def test_stream_static_broadcast_enrich(spark, events_batch, events_stream):
+    """Stream-static join: the streaming side enriched against a static
+    broadcast dim — the Structured Streaming form of the engine's
+    broadcast-dim joins (J5)."""
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"),
+         ("purchase", "revenue"), ("signup", "acquisition"),
+         ("error", "ops")],
+        "event_type string, category string")
+    out = (events_stream.join(F.broadcast(dim), "event_type")
+           .groupBy("category").count())
+    q = (out.writeStream.format("memory").queryName("enrich_q")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r.category: r["count"] for r in spark.sql("SELECT * FROM enrich_q").collect()}
+    want = {r.category: r["count"] for r in
+            events_batch.join(dim, "event_type").groupBy("category").count().collect()}
+    assert got == want and len(got) == 4
