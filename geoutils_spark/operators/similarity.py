@@ -205,3 +205,45 @@ def _dbl_vec_sql(col: str) -> str:
 
 def _cos_pv(dim: int) -> str:
     return cosine_chain_sql("p.__e", "v.__e", dim)
+
+
+# ---------------------------------------------------------------------------
+# IVF centroid training: deterministic mini-Lloyd's
+# ---------------------------------------------------------------------------
+
+def train_centroids(vectors: DataFrame, k: int, iters: int = 3,
+                    v_id: str = "vec_id", vec: str = "e",
+                    dim: int = EMB_DIM) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd's iterations for IVF centroids.
+
+    Init: the k vectors with the smallest ids (deterministic, no RNG —
+    workflow-safe). Each iteration: assign every vector to its nearest
+    centroid (row-local argmax over the broadcast list, the same expression
+    the IVF probe uses) and recompute centroids as per-bucket means (one
+    map-side-combinable groupBy). Empty clusters keep their previous
+    centroid. Driver holds only k*dim floats.
+    """
+    init = (
+        vectors.orderBy(v_id).limit(k)
+        .select(v_id, vec).collect()
+    )
+    cents = [(i, [float(x) for x in r[vec]]) for i, r in enumerate(init)]
+    for _ in range(iters):
+        assigned = vectors.withColumn(
+            "__bucket", assign_centroid_col(F.col(vec), cents, dim))
+        sums = assigned.groupBy("__bucket").agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.element_at(F.col(vec), i + 1)).alias(f"s{i}")
+              for i in range(dim)],
+        ).collect()
+        by_bucket = {int(r["__bucket"]): r for r in sums}
+        new_cents = []
+        for cid, old in cents:
+            r = by_bucket.get(cid)
+            if r is None or r["n"] == 0:
+                new_cents.append((cid, old))
+            else:
+                new_cents.append(
+                    (cid, [float(r[f"s{i}"]) / r["n"] for i in range(dim)]))
+        cents = new_cents
+    return cents

@@ -79,3 +79,30 @@ def test_dot_chain_matches_python(spark):
     for x, y in zip(a, b):
         want += x * y
     assert got == want
+
+
+def test_trained_centroids_improve_recall(vectors, spark):
+    """Lloyd's-trained centroids recover the 3 latent clusters and give
+    >= the recall of arbitrary-vector centroids at nprobe=1."""
+    q = _queries(vectors)
+    exact = {}
+    for r in SIM.cosine_topk(vectors, q, k=3).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(cents):
+        ivf = {}
+        for r in SIM.ivf_topk(vectors, q, cents, k=3, nprobe=1).collect():
+            ivf.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(len(exact[k] & ivf.get(k, set())) for k in exact)
+        return hits / sum(len(v) for v in exact.values())
+
+    arbitrary = [(int(r.vec_id), list(r.e))
+                 for r in vectors.filter(F.col("vec_id") < 3).collect()]
+    trained = SIM.train_centroids(vectors, k=3, iters=3)
+    r_arb, r_tr = recall(arbitrary), recall(trained)
+    assert r_tr >= r_arb
+    assert r_tr >= 0.9  # clusters are well separated; training must find them
+
+    # determinism: same input -> identical centroids
+    again = SIM.train_centroids(vectors, k=3, iters=3)
+    assert trained == again
