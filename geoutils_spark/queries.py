@@ -1640,3 +1640,93 @@ def text_ngram_topk(spark, sf_dir):
         .filter(F.col("rank") <= 5)
         .select("lang", "gram", "n", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Window/date/percentile coverage block
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_window_suite",
+    """
+    SELECT o_custkey, o_orderkey,
+           DENSE_RANK() OVER w AS drank,
+           NTILE(4) OVER w AS quartile,
+           LEAD(o_orderkey, 1) OVER w AS next_order,
+           CAST(SUM(o_totalprice) OVER (PARTITION BY o_custkey) AS DOUBLE) AS cust_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+)
+def rel_window_suite(spark, sf_dir):
+    """dense_rank + ntile + lead + partition-total in one pass (window
+    breadth the reference lacks entirely, SURVEY §2.7)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    wp = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.lead("o_orderkey", 1).over(w).alias("next_order"),
+        F.sum("o_totalprice").over(wp).cast("double").alias("cust_total"),
+    )
+
+
+@register(
+    "rel_date_parts",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS q,
+           CAST(EXTRACT(dow FROM o_orderdate) AS BIGINT) AS dow,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1, 2, 3
+    """,
+)
+def rel_date_parts(spark, sf_dir):
+    """Temporal extraction rollup. Spark dayofweek is 1=Sunday; DuckDB dow
+    is 0=Sunday — aligned by subtracting 1."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.quarter("o_orderdate").cast("long").alias("q"),
+            (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
+        ).agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "rel_exact_percentiles",
+    """
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+      FROM orders
+    )
+    SELECT o_orderpriority AS priority,
+           MIN(CASE WHEN rn * 2 >= cnt THEN o_totalprice END) AS p50,
+           MIN(CASE WHEN rn * 10 >= cnt * 9 THEN o_totalprice END) AS p90
+    FROM ranked GROUP BY o_orderpriority
+    """,
+)
+def rel_exact_percentiles(spark, sf_dir):
+    """Exact p50/p90 per group via the rank formulation (deterministic —
+    NOT percentile_approx, whose sketches aren't engine-portable)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    wc = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority", "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("cnt"),
+    )
+    return ranked.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.min(F.when(F.col("rn") * 2 >= F.col("cnt"), F.col("o_totalprice"))).alias("p50"),
+        F.min(F.when(F.col("rn") * 10 >= F.col("cnt") * 9, F.col("o_totalprice"))).alias("p90"),
+    )
