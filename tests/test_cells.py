@@ -95,3 +95,41 @@ def test_pinned_golden_cells(spark):
     ]
     assert got == got_spark
     assert got == [499595749831475200, 1729382325629747200, 506835071827705856]
+
+
+def test_property_invariants_numpy():
+    """Property-based: for random coords and levels, the numpy backend
+    satisfies the index algebra (roundtrip, parent containment, range
+    nesting, level recovery). Pure numpy — no Spark session needed, so
+    hypothesis can fuzz thousands of cases cheaply."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=500, deadline=None)
+    @given(
+        st.floats(min_value=-180.0, max_value=179.999999),
+        st.floats(min_value=-89.9, max_value=89.9),
+        st.integers(min_value=1, max_value=30),
+        st.integers(min_value=0, max_value=29),
+    )
+    def check(lon, lat, level, plevel_raw):
+        plevel = min(plevel_raw, level - 1) if level > 1 else 0
+        cell = int(C.cell_ids_np(np.array([lon]), np.array([lat]), level)[0])
+        assert cell > 0
+        # tile roundtrip
+        tx, ty = C.cell_to_tile_np(np.array([cell]), level)
+        again = int(C.cell_from_tile_np(tx, ty, level)[0])
+        assert again == cell
+        if plevel >= 1:
+            parent = int(C.cell_parent_np(np.array([cell]), plevel)[0])
+            # parent is its own parent at its level
+            assert int(C.cell_parent_np(np.array([parent]), plevel)[0]) == parent
+            # child lies inside parent's descendant range
+            lsb = parent & -parent
+            assert parent - lsb + 1 <= cell <= parent + lsb - 1
+            # parent's tile coords are the child's shifted down
+            ptx, pty = C.cell_to_tile_np(np.array([parent]), plevel)
+            assert int(ptx[0]) == int(tx[0]) >> (level - plevel)
+            assert int(pty[0]) == int(ty[0]) >> (level - plevel)
+
+    check()

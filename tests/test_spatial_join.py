@@ -158,3 +158,38 @@ def test_adaptive_two_level_join_matches_single_level(spark):
     assert adap == base
     n_pts = pts.count()
     assert sum(1 for _, w in adap if w == 999) == n_pts
+
+
+def test_ray_cast_boundary_rules():
+    """Half-open edge semantics are deterministic: for the unit square,
+    points inside are in; outside are out; and every boundary point gets a
+    definite (stable) answer tied to the 'strictly right' crossing rule."""
+    import numpy as np
+
+    from geoutils_spark.operators.spatial_join import ray_cast_np
+
+    sq_x = [0.0, 1.0, 1.0, 0.0, 0.0]
+    sq_y = [0.0, 0.0, 1.0, 1.0, 0.0]
+
+    def pip(px, py):
+        return bool(ray_cast_np(np.array([px]), np.array([py]),
+                                [sq_x], [sq_y])[0])
+
+    assert pip(0.5, 0.5) is True
+    assert pip(1.5, 0.5) is False
+    assert pip(-0.5, 0.5) is False
+    assert pip(0.5, 1.5) is False
+    # left edge: ray crosses the right edge once -> inside
+    assert pip(0.0, 0.5) is True
+    # right edge: no edge strictly right of the point -> outside
+    assert pip(1.0, 0.5) is False
+    # horizontal edges: (y1 > py) != (y2 > py) half-open rule
+    assert pip(0.5, 0.0) is True    # bottom edge counts (y=0: top endpoints above)
+    assert pip(0.5, 1.0) is False   # top edge does not
+    # vertices follow the same composition
+    assert pip(0.0, 0.0) is True
+    assert pip(1.0, 1.0) is False
+    # degenerate: same answers via the vectorized multi-row path
+    many = ray_cast_np(np.array([0.5, 1.0, 0.0]), np.array([0.5, 0.5, 0.5]),
+                       [sq_x] * 3, [sq_y] * 3)
+    assert many.tolist() == [True, False, True]
