@@ -19,17 +19,29 @@ from pyspark.sql import functions as F
 from geoutils_spark.functions import cells as C
 from geoutils_spark.functions.geodesy import haversine_m_col
 
+# meridional circumference / 2*pi*R with R=EARTH_RADIUS_M; one L-level cell
+# spans EARTH_CIRCUMFERENCE_M / 2^L meters of latitude
+EARTH_CIRCUMFERENCE_M = 40030228.88407185  # 2*pi*6371000
+
 
 def knn_join(queries: DataFrame, corpus: DataFrame, k: int, level: int,
              ring: int = 1,
              q_id: str = "query_id", c_id: str = "neighbor_id",
              lon: str = "lon", lat: str = "lat",
              broadcast_queries: bool = True,
-             include_self: bool = False) -> DataFrame:
+             include_self: bool = False,
+             guaranteed_flag: bool = False) -> DataFrame:
     """Returns (q_id, c_id, rank, dist_m), rank 1..k by haversine meters.
 
     ``broadcast_queries``: typical shape is few queries vs huge corpus —
     broadcast the exploded query-cell table so the corpus never shuffles.
+
+    ``guaranteed_flag``: append a per-row boolean ``guaranteed`` that is
+    true iff this query's top-k is PROVABLY exact — k candidates were found
+    and the k-th distance fits inside the disk the cell ring covers. Rows
+    flagged false need a wider ``ring`` / coarser ``level`` escalation pass
+    (the self-check an engine must have when candidate generation is
+    locality-bounded).
     """
     q = C.with_tile_xy(queries, lon, lat, level, "__qx", "__qy")
     q = q.withColumn(
@@ -54,8 +66,29 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int, level: int,
                         F.col("__clon"), F.col("__clat")),
     )
     w = Window.partitionBy(q_id).orderBy(F.col("dist_m").asc(), F.col(c_id).asc())
-    return (
+    out = (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(q_id, c_id, "rank", "dist_m")
     )
+    if guaranteed_flag:
+        # The ring search is exact iff the k-th hit lies within the disk the
+        # ring provably covers: `ring` whole cells beyond the query's own in
+        # every direction. Web-Mercator cells span ~ (C/2^L)*cos(lat) ground
+        # meters in BOTH axes (conformal); an extra 0.9 margin covers the
+        # poleward shrink across the ring, keeping the bound conservative.
+        n = float(1 << level)
+        cell_m = (F.lit(EARTH_CIRCUMFERENCE_M / n)
+                  * F.cos(F.radians(F.col("__qlat"))))
+        safe_r = cell_m * F.lit(0.9 * float(ring))
+        wcnt = Window.partitionBy(q_id)
+        out = (
+            out.withColumn("__maxd", F.max("dist_m").over(wcnt))
+            .withColumn("__n", F.count("*").over(wcnt))
+            .withColumn(
+                "guaranteed",
+                (F.col("__n") >= k) & (F.col("__maxd") <= safe_r),
+            )
+            .drop("__maxd", "__n")
+        )
+        return out.select(q_id, c_id, "rank", "dist_m", "guaranteed")
+    return out.select(q_id, c_id, "rank", "dist_m")

@@ -30,3 +30,27 @@ def test_knn_exact(spark):
         assert list(sub.neighbor_id) == exp_ids
         np.testing.assert_allclose(sub.dist_m.to_numpy(),
                                    [d for d, _ in order], rtol=1e-9)
+
+
+def test_knn_guaranteed_flag(spark):
+    """The exactness self-check: a wide ring at a coarse level guarantees
+    the top-k; a tight ring at a fine level cannot, and says so."""
+    from pyspark.sql import functions as F
+
+    from geoutils_spark.operators.knn import knn_join
+
+    pts = spark.range(300).select(
+        F.col("id").alias("pid"),
+        ((F.col("id") % 20).cast("double") / 100.0).alias("lon"),
+        ((F.col("id") / 20).cast("int").cast("double") / 100.0).alias("lat"),
+    )
+    q = pts.filter(F.col("pid") % 60 == 0).select(
+        F.col("pid").alias("query_id"), "lon", "lat")
+    c = pts.select(F.col("pid").alias("neighbor_id"), "lon", "lat")
+    # coarse level: one cell covers the whole grid -> provably exact
+    wide = knn_join(q, c, k=3, level=7, ring=1, guaranteed_flag=True)
+    assert all(r.guaranteed for r in wide.collect())
+    # fine level: neighbors sit several cells away -> flag must warn
+    tight = knn_join(q, c, k=3, level=18, ring=1, guaranteed_flag=True)
+    rows = tight.collect()
+    assert any(not r.guaranteed for r in rows) or len(rows) < 15
