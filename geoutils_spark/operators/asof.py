@@ -3,15 +3,20 @@ natively (SURVEY.md §2.5 "absent join kinds").
 
 Spark-first shape: instead of a per-row range join (quadratic blowup per
 key) or a per-key collect, both sides are UNIONED with a side tag and
-processed by one window pass per key ordered by (time, side):
-``last(right_value, ignorenulls)`` over the preceding frame gives every
-left row the latest right row at-or-before its timestamp. One shuffle on
-the key, one sort within partitions — the same cost as any windowed
-aggregation, independent of how many right rows precede each left row.
+processed by one window pass per key ordered by (time, side): the right
+row's payload travels as ONE struct column, so
+``last(struct, ignorenulls)`` over the preceding frame atomically selects
+the latest right ROW at-or-before each left timestamp — a right row whose
+value columns are genuinely NULL is still "the latest row" and its NULLs
+are returned (DuckDB-ASOF semantics), never skipped in favor of an older
+row. One shuffle on the key, one sort within partitions — the same cost as
+any windowed aggregation, independent of how many right rows precede each
+left row.
 
 Ties: a right row at exactly the left row's timestamp IS visible (side tag
 orders right rows first within equal timestamps) — the usual "as of <= t"
-semantics.
+semantics. Tolerance is compared on double-seconds (timestamp cast), so
+sub-second tolerances work.
 """
 
 from __future__ import annotations
@@ -28,35 +33,38 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     ``right_ts <= left_ts`` (within ``tolerance_s`` seconds if given).
 
     Returns all left columns plus ``value_cols`` (null when no prior right
-    row / outside tolerance).
+    row / outside tolerance; a matched right row's own NULL values pass
+    through as NULL).
     """
     lcols = left.columns
-    l = left.withColumn("__t", F.col(left_ts).cast("timestamp")) \
-            .withColumn("__side", F.lit(1))
+    l = left.select(
+        F.col(on),
+        F.col(left_ts).cast("timestamp").alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols if c != on],
+    )
     r = right.select(
         F.col(on),
         F.col(right_ts).cast("timestamp").alias("__t"),
-        *[F.col(c) for c in value_cols],
-    ).withColumn("__side", F.lit(0))
-    for c in lcols:
-        if c not in (on,) and c not in r.columns:
-            r = r.withColumn(c, F.lit(None))
-    for c in value_cols:
-        if c not in l.columns:
-            l = l.withColumn(c, F.lit(None))
-    u = l.select(on, "__t", "__side", *[c for c in lcols if c != on], *value_cols) \
-        .unionByName(
-            r.select(on, "__t", "__side", *[c for c in lcols if c != on], *value_cols))
-    w = (Window.partitionBy(on).orderBy("__t", "__side")
+        F.lit(0).alias("__side"),
+        F.struct(
+            F.col(right_ts).cast("timestamp").cast("double").alias("__rt"),
+            *[F.col(c) for c in value_cols],
+        ).alias("__rv"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    # __rv is non-null on EVERY right row (even all-null values) and null on
+    # left rows, so last(ignorenulls) = the latest preceding right ROW.
+    # Tiebreak among equal (key, ts) right rows: max struct (deterministic).
+    w = (Window.partitionBy(on).orderBy("__t", "__side", "__rv")
          .rowsBetween(Window.unboundedPreceding, 0))
-    out = u
-    for c in value_cols:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    u = u.withColumn("__m", F.last("__rv", ignorenulls=True).over(w))
+    matched = F.col("__m").isNotNull()
     if tolerance_s is not None:
-        rt = F.last(F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True).over(w)
-        out = out.withColumn("__rt", rt)
-        within = (F.unix_timestamp("__t") - F.unix_timestamp("__rt")) <= tolerance_s
-        for c in value_cols:
-            out = out.withColumn(c, F.when(within, F.col(c)))
-        out = out.drop("__rt")
-    return out.filter(F.col("__side") == 1).select(*lcols, *value_cols)
+        matched = matched & (
+            (F.col("__t").cast("double") - F.col("__m.__rt")) <= F.lit(float(tolerance_s))
+        )
+    out = u.filter(F.col("__side") == 1)
+    for c in value_cols:
+        out = out.withColumn(c, F.when(matched, F.col(f"__m.{c}")))
+    return out.select(*lcols, *value_cols)

@@ -414,13 +414,16 @@ def embedding_near_dup_sql(vectors_cte: str, id_col: str = "vec_id",
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
     """(node_id, component_id) with component_id = min id reachable —
-    iterative min-label propagation over the undirected pair graph.
+    iterative min-label propagation PLUS a pointer-doubling shortcut per
+    round (comp := label(comp)), so label distance-to-minimum halves every
+    iteration and convergence is O(log(diameter)) rounds even for long
+    boilerplate near-dup chains (a depth-D chain needs ~log2(D) rounds, not
+    D). Iteration count is checked and overrun raises rather than returning
+    a wrong clustering.
 
     Near-dup pairs chain (A~B, B~C but not A~C); keep-one-per-cluster dedup
     needs the transitive closure, not raw pairs. Each iteration is one
-    groupBy(min) + one join, converging in O(log(diameter)) rounds for the
-    short chains dedup graphs have; iteration count is checked and overrun
-    raises rather than returning a wrong clustering.
+    groupBy(min) + two joins.
 
     Scale shape: edges stay partitioned by node; labels is a (node, long)
     table orders of magnitude smaller than the corpus. This is the standard
@@ -448,6 +451,18 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp")))
+                .alias("comp"),
+            )
+        )
+        # pointer-doubling shortcut: comp := label(comp). Labels are always
+        # node ids, so the self-join hits; distance-to-root halves per round.
+        hop = new_labels.select(F.col("node").alias("__c"),
+                                F.col("comp").alias("__cc"))
+        new_labels = (
+            new_labels.join(hop, new_labels.comp == hop.__c, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("__cc", F.col("comp")))
                 .alias("comp"),
             )
         )

@@ -529,24 +529,6 @@ def rel_part_supplier(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @register(
-    "text_dedup_exact",
-    """
-    SELECT MD5(text) AS text_hash, COUNT(*) AS n_docs,
-           MIN(doc_id) AS keeper_id
-    FROM documents GROUP BY 1 HAVING COUNT(*) > 1
-    """,
-)
-def text_dedup_exact(spark, sf_dir):
-    """Exact dedup via content hash: groups with >1 copy + canonical keeper."""
-    d = _t(spark, sf_dir, "documents")
-    return (
-        d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
-        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_id"))
-        .filter(F.col("n_docs") > 1)
-    )
-
-
-@register(
     "text_token_stats",
     """
     SELECT doc_id,
@@ -807,7 +789,12 @@ def _docs_with_mutants(spark, sf_dir):
     toks = F.split(F.col("text"), " ")
     mut = d.filter(F.col("doc_id") % 3 == 0).select(
         (F.col("doc_id") + _MUTANT_OFFSET).alias("doc_id"),
-        F.array_join(F.slice(toks, 1, F.size(toks) - 3), " ").alias("text"),
+        # greatest(..., 0): Spark's slice RAISES on negative length while the
+        # DuckDB twin's w[1:len-3] degrades to empty — clamp so a <4-token
+        # document degrades identically in both dialects.
+        F.array_join(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(0))), " "
+        ).alias("text"),
     )
     return d.unionByName(mut)
 
@@ -816,7 +803,7 @@ _DOCS_MUTANTS_SQL = f"""
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + {_MUTANT_OFFSET} AS doc_id,
-             array_to_string(w[1:len(w)-3], ' ') AS text
+             array_to_string(w[1:GREATEST(len(w)-3, 0)], ' ') AS text
       FROM (SELECT doc_id, string_split(text, ' ') AS w
             FROM documents WHERE doc_id % 3 = 0)
 """

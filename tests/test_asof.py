@@ -67,3 +67,30 @@ def test_asof_matches_bruteforce(spark):
         cand = [(rt, v) for rk, rt, v in rrows if rk == k and rt <= t]
         want = max(cand)[1] if cand else None
         assert got[lid] == want, (lid, got[lid], want)
+
+
+def test_asof_null_value_passthrough(spark):
+    """A matched right row whose value is NULL must yield NULL (the latest
+    ROW wins), not an older row's value (ADVICE r1)."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:10"), "a")], "key long, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 5.0),
+         (1, _ts("2024-01-01 10:00:05"), None)],
+        "key long, qts timestamp, v double")
+    out = asof_join(left, right, "key", "ts", "qts", ["v"]).collect()[0]
+    assert out.v is None
+
+
+def test_asof_subsecond_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00.900"), "a")],
+        "key long, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00.500"), 7.0)],
+        "key long, qts timestamp, v double")
+    hit = asof_join(left, right, "key", "ts", "qts", ["v"],
+                    tolerance_s=0.5).collect()[0]
+    miss = asof_join(left, right, "key", "ts", "qts", ["v"],
+                     tolerance_s=0.2).collect()[0]
+    assert hit.v == 7.0 and miss.v is None

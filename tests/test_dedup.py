@@ -100,3 +100,15 @@ def test_connected_components_on_lsh_pairs(corpus):
     comp = {r.node: r.component_id for r in cc}
     assert comp[100] == 0  # mutant clusters with its source
     assert comp[101] == 1
+
+
+def test_connected_components_long_chain_logarithmic(spark):
+    """A 60-hop duplicate chain must converge well under 20 rounds (pointer
+    doubling: O(log diameter), ADVICE r1)."""
+    from geoutils_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long")
+    cc = {r.node: r.component_id
+          for r in connected_components(pairs, max_iter=8).collect()}
+    assert all(v == 0 for v in cc.values()) and len(cc) == 61

@@ -54,3 +54,47 @@ def test_knn_guaranteed_flag(spark):
     tight = knn_join(q, c, k=3, level=18, ring=1, guaranteed_flag=True)
     rows = tight.collect()
     assert any(not r.guaranteed for r in rows) or len(rows) < 15
+
+
+def test_knn_exact_escalation(spark):
+    """knn_join_exact returns the brute-force answer even when the ring pass
+    cannot guarantee exactness (sparse corpus, fine level)."""
+    from pyspark.sql import functions as F
+
+    from geoutils_spark.operators.knn import knn_join_exact
+
+    pts = spark.range(120).select(
+        F.col("id").alias("pid"),
+        ((F.col("id") % 12).cast("double") * 0.05).alias("lon"),
+        ((F.col("id") / 12).cast("int").cast("double") * 0.05).alias("lat"),
+    )
+    q = pts.filter(F.col("pid") % 30 == 0).select(
+        F.col("pid").alias("query_id"), "lon", "lat")
+    c = pts.select(F.col("pid").alias("neighbor_id"), "lon", "lat")
+    # level 18: neighbors are many cells away -> ring pass finds ~nothing;
+    # escalation must still produce the exact brute-force top-3.
+    got = knn_join_exact(q, c, k=3, level=18, ring=1).toPandas()
+    qp, cp = q.toPandas(), c.toPandas()
+    for row in qp.itertuples():
+        d = _hav(row.lon, row.lat, cp.lon.to_numpy(), cp.lat.to_numpy())
+        mask = cp.neighbor_id.to_numpy() != row.query_id
+        order = sorted(zip(d[mask], cp.neighbor_id.to_numpy()[mask]))[:3]
+        sub = got[got.query_id == row.query_id].sort_values("rank")
+        assert list(sub.neighbor_id) == [int(i) for _, i in order]
+
+
+def test_knn_polar_ring_not_guaranteed(spark):
+    """A query in the top Mercator tile row has a pole-clipped ring — the
+    guaranteed flag must never be asserted there (ADVICE r1)."""
+    from pyspark.sql import functions as F
+
+    from geoutils_spark.operators.knn import knn_join
+
+    rows = [(0, 0.0, 84.9), (1, 0.01, 84.9), (2, 0.02, 84.9), (3, 0.03, 84.9)]
+    pts = spark.createDataFrame(rows, "pid long, lon double, lat double")
+    q = pts.filter(F.col("pid") == 0).select(
+        F.col("pid").alias("query_id"), "lon", "lat")
+    c = pts.select(F.col("pid").alias("neighbor_id"), "lon", "lat")
+    # level 3: lat 84.9 lands in tile row y=0 (clipped ring).
+    out = knn_join(q, c, k=3, level=3, ring=1, guaranteed_flag=True).collect()
+    assert out and all(not r.guaranteed for r in out)

@@ -113,6 +113,10 @@ def main() -> int:
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--keep-input", action="store_true")
+    ap.add_argument("--allow-normalized", action="store_true",
+                    help="let the hardware-normalized efficiency satisfy the "
+                         "gate when raw falls short (noisy-host fallback; the "
+                         "declared north-rule metric is RAW efficiency)")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.join(REPO, "tools"))
@@ -190,10 +194,16 @@ across all cores (a real multi-executor deployment would not), so this
 measure is conservative.
 """)
     print("wrote BENCH/BASELINE.md")
-    eff = max(eff, norm_eff)
     if not args.keep_input:
         shutil.rmtree(input_path, ignore_errors=True)
-    return 0 if eff >= 0.8 else 1
+    # Gate on the DECLARED metric — raw efficiency (north rule). The
+    # probe-normalized number is reported alongside; it only satisfies the
+    # gate when explicitly opted in (--allow-normalized), so probe noise
+    # cannot mask a genuine pipeline scaling regression.
+    gate = max(eff, norm_eff) if args.allow_normalized else eff
+    print(f"gate metric: {'max(raw, normalized)' if args.allow_normalized else 'raw'}"
+          f" = {gate:.3f} (raw {eff:.3f}, normalized {norm_eff:.3f})")
+    return 0 if gate >= 0.8 else 1
 
 
 if __name__ == "__main__":
