@@ -79,8 +79,8 @@ def _encode_lambda(x: Column, y: Column, level: int) -> Column:
 # Exact ray-cast point-in-polygon (vectorized numpy, Arrow-batched)
 # ---------------------------------------------------------------------------
 
-def ray_cast_np(px: np.ndarray, py: np.ndarray, xs_list, ys_list) -> np.ndarray:
-    """Even-odd crossing test, fully vectorized across rows *and* edges.
+def _ring_crossings_np(px: np.ndarray, py: np.ndarray, xs_list, ys_list) -> np.ndarray:
+    """Per-entry ray-crossing counts, fully vectorized across rows *and* edges.
 
     Half-open rule: edge crosses iff (y1 > py) != (y2 > py) and the
     intersection x lies strictly right of the point — deterministic on
@@ -88,8 +88,6 @@ def ray_cast_np(px: np.ndarray, py: np.ndarray, xs_list, ys_list) -> np.ndarray:
     as the reference's Clipper int-scaling, utils.cpp:95-105).
     """
     n = len(px)
-    if n == 0:
-        return np.zeros(0, dtype=bool)
     lens = np.fromiter((len(a) for a in xs_list), dtype=np.int64, count=n)
     nedges = lens - 1  # rings are closed (first == last)
     xs_flat = np.concatenate([np.asarray(a, float) for a in xs_list])
@@ -108,8 +106,41 @@ def ray_cast_np(px: np.ndarray, py: np.ndarray, xs_list, ys_list) -> np.ndarray:
     with np.errstate(divide="ignore", invalid="ignore"):
         xint = x1 + (pye - y1) / (y2 - y1) * (x2 - x1)
     crossing = cond & (pxe < xint)
-    counts = np.bincount(row_of_edge[crossing], minlength=n)
-    return (counts % 2) == 1
+    return np.bincount(row_of_edge[crossing], minlength=n)
+
+
+def ray_cast_np(px: np.ndarray, py: np.ndarray, xs_list, ys_list) -> np.ndarray:
+    """Even-odd point-in-single-ring test (see _ring_crossings_np)."""
+    if len(px) == 0:
+        return np.zeros(0, dtype=bool)
+    return (_ring_crossings_np(px, py, xs_list, ys_list) % 2) == 1
+
+
+def ray_cast_rings_np(px: np.ndarray, py: np.ndarray,
+                      rings_x_list, rings_y_list) -> np.ndarray:
+    """Even-odd point-in-multi-ring-polygon: crossings are summed across ALL
+    rings of a row (outer + interior), so a point inside an interior ring
+    (hole) has even total parity and is excluded — the even-odd fill rule the
+    reference applies via Clipper (pftEvenOdd,
+    /root/reference/osm2assimp/utils.cpp:95-154; donut ground meshes
+    exercised at /root/reference/osm2assimp/test.cpp:26-76).
+
+    ``rings_x_list[i]`` is the row's sequence of rings, each a closed
+    coordinate array (first == last).
+    """
+    n = len(px)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    nrings = np.fromiter((len(r) for r in rings_x_list), dtype=np.int64, count=n)
+    xs_list = [np.asarray(a, float) for row in rings_x_list for a in row]
+    ys_list = [np.asarray(a, float) for row in rings_y_list for a in row]
+    if not xs_list:
+        return np.zeros(n, dtype=bool)
+    row_of_ring = np.repeat(np.arange(n), nrings)
+    crossings = _ring_crossings_np(px[row_of_ring], py[row_of_ring],
+                                   xs_list, ys_list)
+    counts = np.bincount(row_of_ring, weights=crossings, minlength=n)
+    return (counts.astype(np.int64) % 2) == 1
 
 
 @F.pandas_udf(T.BooleanType())
@@ -119,6 +150,26 @@ def point_in_polygon_udf(lon: pd.Series, lat: pd.Series,
         ray_cast_np(lon.to_numpy(), lat.to_numpy(),
                     ring_x.to_numpy(), ring_y.to_numpy())
     )
+
+
+@F.pandas_udf(T.BooleanType())
+def point_in_rings_udf(lon: pd.Series, lat: pd.Series,
+                       rings_x: pd.Series, rings_y: pd.Series) -> pd.Series:
+    return pd.Series(
+        ray_cast_rings_np(lon.to_numpy(), lat.to_numpy(),
+                          rings_x.to_numpy(), rings_y.to_numpy())
+    )
+
+
+def _poly_refine(polygons: DataFrame):
+    """(select-exprs, refine-udf) for a polygon side: multi-ring when the
+    schema carries ``rings: array<struct<lon:array,lat:array>>``, single
+    outer ring otherwise."""
+    if "rings" in polygons.columns:
+        return ([F.col("rings.lon").alias("__rx"),
+                 F.col("rings.lat").alias("__ry")], point_in_rings_udf)
+    return ([F.col("ring.lon").alias("__rx"),
+             F.col("ring.lat").alias("__ry")], point_in_polygon_udf)
 
 
 # ---------------------------------------------------------------------------
@@ -143,12 +194,10 @@ def spatial_join(points: DataFrame, polygons: DataFrame, level: int,
       (/root/reference/osmsplit/mapsplit.h:65-88).
     """
     pts = C.with_cell(points, lon, lat, level, "cell_id")
+    ring_cols, refine_udf = _poly_refine(polygons)
     polys = with_covering_cells(polygons, level)
     polys = polys.select(
-        "way_id",
-        F.explode("cells").alias("cell_id"),
-        F.col("ring.lon").alias("__rx"),
-        F.col("ring.lat").alias("__ry"),
+        "way_id", F.explode("cells").alias("cell_id"), *ring_cols,
     )
     if n_salt > 1:
         pts = pts.withColumn("__salt", F.pmod(F.xxhash64(*point_cols), F.lit(n_salt)))
@@ -160,7 +209,7 @@ def spatial_join(points: DataFrame, polygons: DataFrame, level: int,
     joined = pts.join(right, on=keys, how="inner")
     if exact:
         joined = joined.filter(
-            point_in_polygon_udf(F.col(lon), F.col(lat), F.col("__rx"), F.col("__ry"))
+            refine_udf(F.col(lon), F.col(lat), F.col("__rx"), F.col("__ry"))
         )
     return joined.select(*point_cols, "way_id", "cell_id")
 
@@ -205,18 +254,16 @@ def spatial_join_adaptive(points: DataFrame, polygons: DataFrame,
 def _join_prepared(pts: DataFrame, polygons: DataFrame, level: int,
                    lon: str, lat: str, point_cols: tuple,
                    broadcast_polygons: bool, exact: bool) -> DataFrame:
+    ring_cols, refine_udf = _poly_refine(polygons)
     polys = with_covering_cells(polygons, level)
     polys = polys.select(
-        "way_id",
-        F.explode("cells").alias("cell_id"),
-        F.col("ring.lon").alias("__rx"),
-        F.col("ring.lat").alias("__ry"),
+        "way_id", F.explode("cells").alias("cell_id"), *ring_cols,
     )
     right = F.broadcast(polys) if broadcast_polygons else polys
     joined = pts.join(right, on="cell_id", how="inner")
     if exact:
         joined = joined.filter(
-            point_in_polygon_udf(F.col(lon), F.col(lat), F.col("__rx"), F.col("__ry"))
+            refine_udf(F.col(lon), F.col(lat), F.col("__rx"), F.col("__ry"))
         )
     return joined.select(*point_cols, "way_id", "cell_id")
 

@@ -262,6 +262,42 @@ def geo_spatial_join(spark, sf_dir):
     return out.select("page_id", "way_id")
 
 
+# Hole bounds derive from the STORED bbox doubles plus a precomputed inset
+# offset, so fixture and oracle share the exact float ops (minx + space*0.25).
+_HOLE_OFF_LO = fixtures.grid_space(LONDON_EXTENTS) * fixtures.HOLE_LO
+_HOLE_OFF_HI = fixtures.grid_space(LONDON_EXTENTS) * fixtures.HOLE_HI
+
+
+@register(
+    "geo_spatial_join_holes",
+    f"""
+    WITH pts AS (
+      SELECT o_orderkey, {_LON} AS lon, {_LAT} AS lat FROM orders
+    ),
+    grid AS ({_grid_sql()})
+    SELECT p.o_orderkey AS page_id, g.way_id
+    FROM pts p JOIN grid g
+      ON p.lon >= g.minx AND p.lon < g.maxx
+     AND p.lat >= g.miny AND p.lat < g.maxy
+    WHERE NOT (p.lon >= g.minx + {_dbl(_HOLE_OFF_LO)}
+           AND p.lon <  g.minx + {_dbl(_HOLE_OFF_HI)}
+           AND p.lat >= g.miny + {_dbl(_HOLE_OFF_LO)}
+           AND p.lat <  g.miny + {_dbl(_HOLE_OFF_HI)})
+    """,
+)
+def geo_spatial_join_holes(spark, sf_dir):
+    """Point-in-MULTIPOLYGON spatial join: every fixture building carries an
+    interior ring (courtyard); the even-odd multi-ring ray cast must exclude
+    points inside the hole. For axis-aligned rings the half-open crossing
+    rule equals half-open bbox predicates, so the oracle is outer-box AND NOT
+    hole-box — exact parity (reference Clipper pftEvenOdd semantics,
+    /root/reference/osm2assimp/utils.cpp:95-154)."""
+    pts = _orders_points(spark, sf_dir).withColumnRenamed("o_orderkey", "page_id")
+    polys = fixtures.polygons_with_holes_df(spark)
+    out = spatial_join(pts, polys, level=15, point_cols=("page_id",))
+    return out.select("page_id", "way_id")
+
+
 @register(
     "geo_mercator_project",
     f"""

@@ -223,6 +223,64 @@ def polygons_df(spark: SparkSession, extents=LONDON_EXTENTS,
     return spark.createDataFrame(polys, POLYGON_SCHEMA)
 
 
+POLYGON_RINGS_SCHEMA = T.StructType([
+    T.StructField("way_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("tags", T.MapType(T.StringType(), T.StringType()), False),
+    T.StructField("rings", T.ArrayType(T.StructType([
+        T.StructField("lon", T.ArrayType(T.DoubleType()), False),
+        T.StructField("lat", T.ArrayType(T.DoubleType()), False),
+    ])), False),
+    T.StructField("bbox", T.StructType([
+        T.StructField("minx", T.DoubleType(), False),
+        T.StructField("miny", T.DoubleType(), False),
+        T.StructField("maxx", T.DoubleType(), False),
+        T.StructField("maxy", T.DoubleType(), False),
+    ]), False),
+])
+
+# Interior-ring (hole) inset as a fraction of the building edge: the hole is
+# the centered half-size square [0.25, 0.75] x [0.25, 0.75] of each building.
+HOLE_LO = 0.25
+HOLE_HI = 0.75
+
+
+def polygons_with_holes_df(spark: SparkSession, extents=LONDON_EXTENTS,
+                           nx: int = 6, ny: int = 3) -> DataFrame:
+    """Donut variant of the building grid: every building polygon carries an
+    interior ring (courtyard) — the multipolygon/even-odd case the reference
+    handles via Clipper (/root/reference/osm2assimp/utils.cpp:95-154; donut
+    meshes exercised at /root/reference/osm2assimp/test.cpp:26-76).
+
+    Hole coords are derived from the STORED bbox doubles (minx + space*0.25
+    etc.), so a SQL oracle regenerating the grid reproduces them bit-for-bit.
+    """
+    polys, _, _ = polygon_grid(extents, nx, ny)
+    space = grid_space(extents, nx)
+    out = []
+    for p in polys:
+        if p["kind"] != "building":
+            continue
+        outer_lon = [pt["lon"] for pt in p["ring"]]
+        outer_lat = [pt["lat"] for pt in p["ring"]]
+        b = p["bbox"]
+        h0x, h1x = b["minx"] + space * HOLE_LO, b["minx"] + space * HOLE_HI
+        h0y, h1y = b["miny"] + space * HOLE_LO, b["miny"] + space * HOLE_HI
+        hole_lon = [h0x, h1x, h1x, h0x, h0x]
+        hole_lat = [h0y, h0y, h1y, h1y, h0y]
+        out.append({
+            "way_id": p["way_id"],
+            "kind": p["kind"],
+            "tags": p["tags"],
+            "rings": [
+                {"lon": outer_lon, "lat": outer_lat},
+                {"lon": hole_lon, "lat": hole_lat},
+            ],
+            "bbox": b,
+        })
+    return spark.createDataFrame(out, POLYGON_RINGS_SCHEMA)
+
+
 def nodes_ways_df(spark: SparkSession, extents=LONDON_EXTENTS,
                   nx: int = 6, ny: int = 3) -> tuple[DataFrame, DataFrame]:
     """Raw OSM-shaped tables for the nodes⋈ways location-resolution join

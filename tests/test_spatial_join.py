@@ -193,3 +193,45 @@ def test_ray_cast_boundary_rules():
     many = ray_cast_np(np.array([0.5, 1.0, 0.0]), np.array([0.5, 0.5, 0.5]),
                        [sq_x] * 3, [sq_y] * 3)
     assert many.tolist() == [True, False, True]
+
+
+def test_ray_cast_rings_donut():
+    """Multi-ring even-odd: inside outer only -> in; inside hole -> out;
+    outside outer -> out (reference Clipper pftEvenOdd, utils.cpp:95-154)."""
+    import numpy as np
+
+    from geoutils_spark.operators.spatial_join import ray_cast_rings_np
+
+    outer_x = [0.0, 10.0, 10.0, 0.0, 0.0]
+    outer_y = [0.0, 0.0, 10.0, 10.0, 0.0]
+    hole_x = [4.0, 6.0, 6.0, 4.0, 4.0]
+    hole_y = [4.0, 4.0, 6.0, 6.0, 4.0]
+    px = np.array([2.0, 5.0, 11.0, 4.0, 6.0])
+    py = np.array([2.0, 5.0, 5.0, 5.0, 5.0])
+    rings_x = [[outer_x, hole_x]] * 5
+    rings_y = [[outer_y, hole_y]] * 5
+    got = ray_cast_rings_np(px, py, rings_x, rings_y)
+    # boundary rule: hole edges are half-open [4,6) -> x=4 is IN hole (out),
+    # x=6 is OUT of hole (in the donut)
+    assert list(got) == [True, False, False, False, True]
+
+
+def test_spatial_join_with_holes(spark):
+    from geoutils_spark.operators.spatial_join import spatial_join
+    from geoutils_spark.sources import fixtures
+
+    donuts = fixtures.polygons_with_holes_df(spark)
+    rows = donuts.collect()
+    assert all(len(r.rings) == 2 for r in rows)
+    # build probe points: building 0's bbox center (inside hole) and a point
+    # inside the donut band
+    b = rows[0].bbox
+    import pandas as pd
+    space = fixtures.grid_space()
+    pts = spark.createDataFrame(pd.DataFrame({
+        "page_id": [0, 1],
+        "lon": [b.minx + space * 0.5, b.minx + space * 0.1],
+        "lat": [b.miny + space * 0.5, b.miny + space * 0.1],
+    }))
+    got = spatial_join(pts, donuts, level=15).toPandas()
+    assert set(got.page_id) == {1}  # hole point excluded, band point kept
