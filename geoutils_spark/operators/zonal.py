@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from geoutils_spark.functions import cells as C
+from geoutils_spark.operators import clip
 from geoutils_spark.operators.spatial_join import with_covering_cells
 
 
@@ -61,3 +62,75 @@ def zonal_stats(points: DataFrame, polygons: DataFrame, level: int,
             F.max("max_value").alias("max_value"),
         ]
     return joined.groupBy("way_id").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Area-weighted zonal: constructive polygon ∩ cell-rect intersection areas
+# ---------------------------------------------------------------------------
+
+def area_raster(polygons: DataFrame, extents, nx: int, ny: int) -> DataFrame:
+    """Per-(polygon, grid-cell) intersection: (way_id, i, j, cell_fp) where
+    ``cell_fp`` is 2*area in 1e-12 fixed point (clip.FP_SCALE).
+
+    Grid = regular nx x ny lon/lat boxes over ``extents`` — the reference's
+    D x D density-grid geometry (/root/reference/osmsplit/mapsplit.h:46,
+    main.cpp:118), now with EXACT per-cell intersection areas via the
+    Sutherland–Hodgman clip (reference Clipper intersectPolygons semantics,
+    /root/reference/osm2assimp/utils.cpp:95-154).
+
+    Scale shape: candidates come from the polygon bbox (i/j ranges — no
+    cross join with the grid); the clip + shoelace are whole-stage-codegen'd
+    array expressions, no Python anywhere; the only shuffle is the final
+    groupBy. Multi-ring polygons sum signed ring areas before abs (holes
+    wound opposite subtract).
+    """
+    lon0, lat0, lon1, lat1 = extents
+    dx = (lon1 - lon0) / nx
+    dy = (lat1 - lat0) / ny
+    p = polygons
+    if "rings" not in p.columns:
+        p = p.withColumn("rings", F.array(F.struct(
+            F.col("ring.lon").alias("lon"), F.col("ring.lat").alias("lat"))))
+    b = F.col("bbox")
+    i0 = F.greatest(F.floor((b["minx"] - F.lit(lon0)) / F.lit(dx)).cast("long"), F.lit(0))
+    i1 = F.least(F.floor((b["maxx"] - F.lit(lon0)) / F.lit(dx)).cast("long"), F.lit(nx - 1))
+    j0 = F.greatest(F.floor((b["miny"] - F.lit(lat0)) / F.lit(dy)).cast("long"), F.lit(0))
+    j1 = F.least(F.floor((b["maxy"] - F.lit(lat0)) / F.lit(dy)).cast("long"), F.lit(ny - 1))
+    seq = lambda a, z: F.when(a <= z, F.sequence(a, z)).otherwise(  # noqa: E731
+        F.array().cast("array<long>"))
+    p = p.select("way_id", "rings", i0.alias("__i0"), i1.alias("__i1"),
+                 j0.alias("__j0"), j1.alias("__j1"))
+    p = p.select("way_id", "rings",
+                 F.explode(seq(F.col("__i0"), F.col("__i1"))).alias("i"),
+                 "__j0", "__j1")
+    p = p.select("way_id", "rings", "i",
+                 F.explode(seq(F.col("__j0"), F.col("__j1"))).alias("j"))
+    p = p.select("way_id", "i", "j",
+                 F.explode("rings").alias("__ring2"))
+    p = p.withColumn("__x0", F.lit(lon0) + F.col("i") * F.lit(dx))
+    p = p.withColumn("__x1", F.lit(lon0) + (F.col("i") + F.lit(1)) * F.lit(dx))
+    p = p.withColumn("__y0", F.lit(lat0) + F.col("j") * F.lit(dy))
+    p = p.withColumn("__y1", F.lit(lat0) + (F.col("j") + F.lit(1)) * F.lit(dy))
+    p = p.withColumn("__ring", clip.ring_struct_col(
+        F.col("__ring2.lon"), F.col("__ring2.lat")))
+    p = clip.with_clipped_ring(p, "__ring", "__x0", "__x1", "__y0", "__y1",
+                               out="__clipped")
+    p = p.withColumn("__fp", clip.shoelace_fp_col(F.col("__clipped")))
+    out = (
+        p.groupBy("way_id", "i", "j")
+        .agg(F.abs(F.sum("__fp")).alias("cell_fp"))
+        .filter(F.col("cell_fp") > 0)
+    )
+    return out
+
+
+def area_zonal_stats(polygons: DataFrame, extents, nx: int, ny: int) -> DataFrame:
+    """(way_id, n_cells, area_deg2): per-polygon cell count + total
+    intersection area in squared degrees (= polygon area when the grid
+    covers it). The standard raster↔vector zonal weighting input."""
+    r = area_raster(polygons, extents, nx, ny)
+    return r.groupBy("way_id").agg(
+        F.count("*").alias("n_cells"),
+        (F.sum("cell_fp").cast("double") / F.lit(2.0 * clip.FP_SCALE))
+        .alias("area_deg2"),
+    )

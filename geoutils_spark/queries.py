@@ -298,6 +298,79 @@ def geo_spatial_join_holes(spark, sf_dir):
     return out.select("page_id", "way_id")
 
 
+def _zonal_area_sql(D: int = 16) -> str:
+    """DuckDB twin of area_zonal_stats over the donut grid: identical
+    Sutherland–Hodgman clip arithmetic + fixed-point shoelace (see
+    operators/clip.py parity design)."""
+    from geoutils_spark.operators import clip as CL
+
+    lon0, lat0, lon1, lat1 = LONDON_EXTENTS
+    dx = (lon1 - lon0) / D
+    dy = (lat1 - lat0) / D
+    lo, hi = _dbl(_HOLE_OFF_LO), _dbl(_HOLE_OFF_HI)
+    outer = ("[{'x': maxx, 'y': maxy}, {'x': minx, 'y': maxy}, "
+             "{'x': minx, 'y': miny}, {'x': maxx, 'y': miny}, "
+             "{'x': maxx, 'y': maxy}]")
+    hole = (f"[{{'x': minx + {lo}, 'y': miny + {lo}}}, "
+            f"{{'x': minx + {lo}, 'y': miny + {hi}}}, "
+            f"{{'x': minx + {hi}, 'y': miny + {hi}}}, "
+            f"{{'x': minx + {hi}, 'y': miny + {lo}}}, "
+            f"{{'x': minx + {lo}, 'y': miny + {lo}}}]")
+    stages = CL.clip_stages_sql("__r0", "x0", "x1", "y0", "y1")
+    stage_ctes = ",\n    ".join(
+        f"s{k + 1} AS (SELECT *, {expr} AS {name} FROM "
+        f"{'cand' if k == 0 else f's{k}'})"
+        for k, (name, expr) in enumerate(stages)
+    )
+    return f"""
+    WITH grid AS ({_grid_sql()}),
+    rings AS (
+      SELECT way_id, minx, miny, maxx, maxy, [{outer}, {hole}] AS rings
+      FROM grid
+    ),
+    cells AS (
+      SELECT i, j,
+             {_dbl(lon0)} + i * {_dbl(dx)} AS x0,
+             {_dbl(lon0)} + (i + 1) * {_dbl(dx)} AS x1,
+             {_dbl(lat0)} + j * {_dbl(dy)} AS y0,
+             {_dbl(lat0)} + (j + 1) * {_dbl(dy)} AS y1
+      FROM range({D}) t1(i), range({D}) t2(j)
+    ),
+    cand AS (
+      SELECT r.way_id, c.i, c.j, c.x0, c.x1, c.y0, c.y1,
+             UNNEST(r.rings) AS __r0
+      FROM rings r JOIN cells c
+        ON c.x0 < r.maxx AND c.x1 > r.minx
+       AND c.y0 < r.maxy AND c.y1 > r.miny
+    ),
+    {stage_ctes},
+    scored AS (
+      SELECT way_id, i, j, {CL.shoelace_fp_sql('__c4')} AS fp FROM s4
+    ),
+    cellagg AS (
+      SELECT way_id, i, j, ABS(SUM(fp)) AS cell_fp
+      FROM scored GROUP BY 1, 2, 3
+      HAVING ABS(SUM(fp)) > 0
+    )
+    SELECT way_id, COUNT(*) AS n_cells,
+           CAST(SUM(cell_fp) AS DOUBLE) / {2.0 * CL.FP_SCALE!r} AS area_deg2
+    FROM cellagg GROUP BY way_id
+    """
+
+
+@register("geo_zonal_area", _zonal_area_sql())
+def geo_zonal_area(spark, sf_dir):
+    """Constructive area-weighted zonal: exact polygon∩cell intersection
+    areas (Sutherland–Hodgman clip, reference utils.cpp:95-154) of the DONUT
+    building grid against a 16x16 raster — holes subtract (opposite-wound
+    interior rings). Whole pipeline is codegen'd array expressions; the
+    oracle replays the identical clip arithmetic in SQL."""
+    from geoutils_spark.operators.zonal import area_zonal_stats
+
+    donuts = fixtures.polygons_with_holes_df(spark)
+    return area_zonal_stats(donuts, LONDON_EXTENTS, 16, 16)
+
+
 @register(
     "geo_mercator_project",
     f"""

@@ -266,8 +266,11 @@ def polygons_with_holes_df(spark: SparkSession, extents=LONDON_EXTENTS,
         b = p["bbox"]
         h0x, h1x = b["minx"] + space * HOLE_LO, b["minx"] + space * HOLE_HI
         h0y, h1y = b["miny"] + space * HOLE_LO, b["miny"] + space * HOLE_HI
-        hole_lon = [h0x, h1x, h1x, h0x, h0x]
-        hole_lat = [h0y, h0y, h1y, h1y, h0y]
+        # interior ring wound OPPOSITE to the outer (standard multipolygon
+        # convention): signed ring areas then subtract in constructive
+        # area ops; the even-odd PIP is orientation-independent either way.
+        hole_lon = [h0x, h0x, h1x, h1x, h0x]
+        hole_lat = [h0y, h1y, h1y, h0y, h0y]
         out.append({
             "way_id": p["way_id"],
             "kind": p["kind"],

@@ -1,0 +1,64 @@
+"""Sutherland-Hodgman clip + area zonal (reference Clipper intersectPolygons
+semantics, /root/reference/osm2assimp/utils.cpp:95-154)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from geoutils_spark.constants import LONDON_EXTENTS
+from geoutils_spark.operators import clip
+from geoutils_spark.operators.zonal import area_raster, area_zonal_stats
+from geoutils_spark.sources import fixtures
+
+
+def _clip_area(spark, rx, ry, x0, x1, y0, y1):
+    df = spark.createDataFrame(
+        [(1, rx, ry, x0, x1, y0, y1)],
+        "way_id long, rx array<double>, ry array<double>, "
+        "x0 double, x1 double, y0 double, y1 double")
+    df = df.withColumn("ring", clip.ring_struct_col(F.col("rx"), F.col("ry")))
+    df = clip.with_clipped_ring(df, "ring", "x0", "x1", "y0", "y1")
+    fp = df.withColumn("fp", clip.shoelace_fp_col(F.col("clipped"))).collect()[0].fp
+    return abs(fp) / 2.0 / clip.FP_SCALE
+
+
+def test_clip_partial_overlap(spark):
+    sq_x = [0.0, 1.0, 1.0, 0.0, 0.0]
+    sq_y = [0.0, 0.0, 1.0, 1.0, 0.0]
+    assert abs(_clip_area(spark, sq_x, sq_y, 0.5, 1.5, 0.5, 1.5) - 0.25) < 1e-9
+
+
+def test_clip_contained_and_disjoint(spark):
+    sq_x = [0.0, 1.0, 1.0, 0.0, 0.0]
+    sq_y = [0.0, 0.0, 1.0, 1.0, 0.0]
+    assert abs(_clip_area(spark, sq_x, sq_y, -1.0, 2.0, -1.0, 2.0) - 1.0) < 1e-9
+    assert _clip_area(spark, sq_x, sq_y, 5.0, 6.0, 5.0, 6.0) == 0.0
+
+
+def test_clip_triangle(spark):
+    # right triangle (0,0)-(2,0)-(0,2); clip to unit square: area 1 - 1/2... 
+    # region x,y in [0,1] under x+y<=2 is the whole unit square = 1.0;
+    # clip to [1,2]x[0,1]: triangle corner -> area 0.5
+    tri_x = [0.0, 2.0, 0.0, 0.0]
+    tri_y = [0.0, 0.0, 2.0, 0.0]
+    assert abs(_clip_area(spark, tri_x, tri_y, 0.0, 1.0, 0.0, 1.0) - 1.0) < 1e-9
+    assert abs(_clip_area(spark, tri_x, tri_y, 1.0, 2.0, 0.0, 1.0) - 0.5) < 1e-9
+
+
+def test_area_zonal_donuts(spark):
+    """Total clipped area per donut == outer - hole (opposite winding)."""
+    donuts = fixtures.polygons_with_holes_df(spark)
+    z = area_zonal_stats(donuts, LONDON_EXTENTS, 16, 16).toPandas()
+    space = fixtures.grid_space()
+    expect = space * space * (1.0 - (fixtures.HOLE_HI - fixtures.HOLE_LO) ** 2)
+    assert len(z) == 18
+    np.testing.assert_allclose(z.area_deg2, expect, rtol=1e-6)
+
+
+def test_area_raster_partition_of_area(spark):
+    """Per-cell areas partition the polygon: non-negative, sum to total."""
+    donuts = fixtures.polygons_with_holes_df(spark).filter("way_id = 0")
+    r = area_raster(donuts, LONDON_EXTENTS, 16, 16).toPandas()
+    assert (r.cell_fp > 0).all()
+    space = fixtures.grid_space()
+    total = r.cell_fp.sum() / 2.0 / clip.FP_SCALE
+    np.testing.assert_allclose(total, space * space * 0.75, rtol=1e-6)
