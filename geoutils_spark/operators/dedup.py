@@ -114,27 +114,38 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("__id"),
         word_shingles_col(F.col(text_col), k_shingle).alias("__sh"),
     ).withColumn("__sig", minhash_signature_col(F.col("__sh"), num_hashes))
+    # SLIM band join (r1 verdict): only (id, band, key) travels through the
+    # candidate self-join — never the document-sized shingle arrays or
+    # signatures, which at corpus scale would amplify shuffle bytes by
+    # bands x payload on BOTH sides. Signatures/shingles are joined back BY
+    # ID after pair dedup, touching each candidate pair once.
     banded = sig.select(
-        "__id", "__sig", "__sh",
+        "__id",
         F.explode(band_keys_col(F.col("__sig"), bands, rows_per_band)).alias("__bk"),
-    ).select("__id", "__sig", "__sh",
+    ).select("__id",
              F.col("__bk.band").alias("__band"), F.col("__bk.key").alias("__key"))
-    # Materialize signatures through an exchange before the self-join: the
-    # join's sort then reads plain attributes instead of the inlined
-    # signature expression tree (which blows whole-stage codegen past 64KB
-    # and drops the sort to interpreted mode). The shuffle is not extra
-    # work — a shuffle join needs this exchange anyway.
+    # Materialize the key expression through an exchange before the
+    # self-join: the join's sort then reads plain attributes instead of the
+    # inlined signature expression tree (which blows whole-stage codegen
+    # past 64KB and drops the sort to interpreted mode). The shuffle is not
+    # extra work — a shuffle join needs this exchange anyway.
     banded = banded.repartition(F.col("__band"), F.col("__key"))
-    a = banded.select(F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"),
-                      F.col("__sh").alias("sh_a"), "__band", "__key")
-    b = banded.select(F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b"),
-                      F.col("__sh").alias("sh_b"), "__band", "__key")
+    a = banded.select(F.col("__id").alias("id_a"), "__band", "__key")
+    b = banded.select(F.col("__id").alias("id_b"), "__band", "__key")
     pairs = (
         a.join(b, on=["__band", "__key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # repartition-by-id: the join-back shuffle materializes signatures/
+    # shingles as attributes so downstream agreement/Jaccard expressions
+    # read columns, not re-inlined minhash trees (codegen size guard).
+    sa = sig.select(F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"),
+                    F.col("__sh").alias("sh_a")).repartition(F.col("id_a"))
+    sb = sig.select(F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b"),
+                    F.col("__sh").alias("sh_b")).repartition(F.col("id_b"))
+    pairs = pairs.join(sa, on="id_a").join(sb, on="id_b")
     pairs = pairs.withColumn(
         "est_jaccard", sig_agreement_col(F.col("sig_a"), F.col("sig_b"), num_hashes)
     ).filter(F.col("est_jaccard") >= min_est_jaccard)
@@ -339,38 +350,90 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "e",
     threshold: float = 0.9,
-    n_planes: int = 8,
+    n_tables: int = 4,
+    planes_per_table: int = 16,
 ) -> DataFrame:
-    """Cosine near-dup pairs via sign-LSH bucketing + exact verify.
+    """Cosine near-dup pairs via BANDED multi-table sign-LSH + exact verify.
 
     The LSH family is coordinate-difference hyperplanes
     ``sign(v[a] - v[b])`` over fixed dimension pairs — pure comparisons, no
     float rounding at the decision boundary to drift between engines, and a
-    valid sparse random-projection family. Bucket equality gates the
-    candidate join; exact cosine refines. Recall is approximate by design
-    (it's an LSH); the oracle runs the identical algorithm.
+    valid sparse random-projection family. ``n_tables`` independent hash
+    tables of ``planes_per_table`` planes each (r1 verdict fix): bucket
+    count per table is 2^planes_per_table, so bucket population stays O(n /
+    2^p) as the corpus grows instead of the old fixed-256-bucket all-pairs
+    blowup; a pair is a candidate if it collides in ANY table (recall-OR,
+    exactly MinHash's band construction). Only (id, table, bucket) travels
+    through the candidate self-join; vectors join back by id after pair
+    dedup. Recall is approximate by design (it's an LSH); the oracle runs
+    the identical algorithm.
     """
-    dims = _plane_dims(n_planes)
-    key = _sign_bucket_col(F.col(vec_col), dims)
-    v = vectors.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__e"),
-                       key.alias("__bucket"))
+    dims = _plane_dims(n_tables * planes_per_table)
     from geoutils_spark.operators.similarity import cosine_chain_col
 
-    a = v.select(F.col("__id").alias("id_a"), F.col("__e").alias("e_a"), "__bucket")
-    b = v.select(F.col("__id").alias("id_b"), F.col("__e").alias("e_b"), "__bucket")
+    v = vectors.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__e"))
+    # One projection per table bucket (stepwise withColumn): keeps each
+    # generated method small even when __e is itself a big expression
+    # (CollapseProject leaves non-cheap multi-use producers separate).
+    k = v
+    for t in range(n_tables):
+        k = k.withColumn(
+            f"__b{t}",
+            _sign_bucket_col(F.col("__e"),
+                             dims[t * planes_per_table:(t + 1) * planes_per_table]))
+    keys = F.array(*[
+        F.struct(F.lit(t).alias("table"), F.col(f"__b{t}").alias("bucket"))
+        for t in range(n_tables)
+    ])
+    keyed = k.select(
+        "__id", F.explode(keys).alias("__tb"),
+    ).select("__id", F.col("__tb.table").alias("__table"),
+             F.col("__tb.bucket").alias("__bucket"))
+    keyed = keyed.repartition(F.col("__table"), F.col("__bucket"))
+    a = keyed.select(F.col("__id").alias("id_a"), "__table", "__bucket")
+    b = keyed.select(F.col("__id").alias("id_b"), "__table", "__bucket")
     pairs = (
-        a.join(b, on="__bucket")
+        a.join(b, on=["__table", "__bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        # chain-sum cosine: bit-identical evaluation order vs the SQL twin
-        .withColumn("cosine", cosine_chain_col(F.col("e_a"), F.col("e_b")))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # repartition-by-id: materializes the vectors (and their row-local
+    # chain-sum norms) as plain attributes through the exchange — a shuffle
+    # the id join-back needs at scale anyway — so per-pair work is ONE
+    # dot-chain, not three (filter pushdown would otherwise duplicate
+    # 3 x dim-term chains and explode codegen). The norm chain computed
+    # pre-join is bit-identical to the oracle's inline sqrt(dot(a,a)).
+    from geoutils_spark.operators.similarity import dot_chain_col
+
+    va = v.select(F.col("__id").alias("id_a"), F.col("__e").alias("e_a"),
+                  F.sqrt(dot_chain_col(F.col("__e"), F.col("__e"))).alias("__na")) \
+          .repartition(F.col("id_a"))
+    vb = v.select(F.col("__id").alias("id_b"), F.col("__e").alias("e_b"),
+                  F.sqrt(dot_chain_col(F.col("__e"), F.col("__e"))).alias("__nb")) \
+          .repartition(F.col("id_b"))
+    pairs = (
+        pairs.join(va, on="id_a").join(vb, on="id_b")
+        # chain-sum dot: bit-identical evaluation order vs the SQL twin
+        .withColumn("cosine",
+                    dot_chain_col(F.col("e_a"), F.col("e_b"))
+                    / (F.col("__na") * F.col("__nb")))
         .filter(F.col("cosine") >= threshold)
     )
     return pairs.select("id_a", "id_b", "cosine")
 
 
 def _plane_dims(n_planes: int, dim: int = 64) -> list[tuple[int, int]]:
-    """Deterministic dimension pairs for the sign-LSH planes."""
-    return [((7 * j + 1) % dim, (13 * j + 29) % dim) for j in range(n_planes)]
+    """Deterministic dimension pairs for the sign-LSH planes (a != b
+    guaranteed: degenerate equal pairs are bumped)."""
+    out = []
+    for j in range(n_planes):
+        a = (7 * j + 1) % dim
+        b = (13 * j + 29) % dim
+        if a == b:
+            b = (b + 1) % dim
+        out.append((a, b))
+    return out
 
 
 def _sign_bucket_col(vec: Column, dims: list[tuple[int, int]]) -> Column:
@@ -387,22 +450,38 @@ def _sign_bucket_col(vec: Column, dims: list[tuple[int, int]]) -> Column:
 
 def embedding_near_dup_sql(vectors_cte: str, id_col: str = "vec_id",
                            vec_col: str = "e", threshold: float = 0.9,
-                           n_planes: int = 8) -> str:
-    dims = _plane_dims(n_planes)
-    key = " + ".join(
-        f"CASE WHEN {vec_col}[{a + 1}] > {vec_col}[{b + 1}] THEN {1 << j} ELSE 0 END"
-        for j, (a, b) in enumerate(dims)
+                           n_tables: int = 4, planes_per_table: int = 16) -> str:
+    dims = _plane_dims(n_tables * planes_per_table)
+
+    def key_sql(t: int) -> str:
+        return " + ".join(
+            f"CASE WHEN __e[{a + 1}] > __e[{b + 1}] THEN {1 << j} ELSE 0 END"
+            for j, (a, b) in enumerate(
+                dims[t * planes_per_table:(t + 1) * planes_per_table])
+        )
+
+    tables = ", ".join(
+        f"{{'tbl': {t}, 'bucket': ({key_sql(t)})}}" for t in range(n_tables)
     )
     from geoutils_spark.operators.similarity import cosine_chain_sql
 
-    cos = cosine_chain_sql("a.__e", "b.__e")
+    cos = cosine_chain_sql("va.__e", "vb.__e")
     return f"""
     WITH v AS (
-      SELECT {id_col} AS __id, {vec_col} AS __e, ({key}) AS __bucket
-      FROM {vectors_cte}
+      SELECT {id_col} AS __id, {vec_col} AS __e FROM {vectors_cte}
+    ),
+    keyed AS (
+      SELECT __id, UNNEST([{tables}], recursive := true) FROM v
+    ),
+    pairs AS (
+      SELECT DISTINCT a.__id AS id_a, b.__id AS id_b
+      FROM keyed a JOIN keyed b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.__id < b.__id
     )
-    SELECT a.__id AS id_a, b.__id AS id_b, {cos} AS cosine
-    FROM v a JOIN v b ON a.__bucket = b.__bucket AND a.__id < b.__id
+    SELECT p.id_a, p.id_b, {cos} AS cosine
+    FROM pairs p
+    JOIN v va ON va.__id = p.id_a
+    JOIN v vb ON vb.__id = p.id_b
     WHERE {cos} >= {threshold!r}
     """
 
