@@ -371,6 +371,39 @@ def geo_zonal_area(spark, sf_dir):
     return area_zonal_stats(donuts, LONDON_EXTENTS, 16, 16)
 
 
+def _s2_parity_sql() -> str:
+    from geoutils_spark.functions import s2cells as S2
+
+    src = f"SELECT o_orderkey, {_LON} AS lon, {_LAT} AS lat FROM orders"
+    q = S2.s2_sql_query(
+        src, "lon", "lat", 12,
+        out_cols=("o_orderkey, s2_cell, "
+                  "lpad(lower(hex(s2_cell::UBIGINT)), 16, '0') AS s2_hex, "
+                  f"((s2_cell & {-(1 << 44)}) | {1 << 44}) AS s2_parent"),
+        out="s2_cell")
+    return q
+
+
+@register("geo_s2_parity", _s2_parity_sql())
+def geo_s2_parity(spark, sf_dir):
+    """TRUE S2 cell ids (face + Hilbert, real-S2 bit layout) at level 12 +
+    hex token + level-8 parent, Catalyst backend vs a DuckDB twin replaying
+    the identical cube-face/quadratic-ST/Hilbert-lookup arithmetic. The
+    same ids the reference gets from the s2 library (pinned goldens
+    /root/reference/test.py:80-83; parent math s2util.h:68-77) — pytest
+    test_s2cells.py::test_pinned_reference_golden_cells checks the
+    reference's two London cells bit-for-bit."""
+    from geoutils_spark.functions import s2cells as S2
+
+    df = _orders_points(spark, sf_dir)
+    df = S2.with_s2_cell(df, "lon", "lat", 12, "s2_cell")
+    return df.select(
+        "o_orderkey", "s2_cell",
+        S2.s2_hex_col(F.col("s2_cell")).alias("s2_hex"),
+        S2.s2_parent_col(F.col("s2_cell"), 8).alias("s2_parent"),
+    )
+
+
 @register(
     "geo_mercator_project",
     f"""
