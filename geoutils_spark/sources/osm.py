@@ -1,0 +1,119 @@
+"""OSM XML ingestion: .osm files -> nodes/ways DataFrames.
+
+The reference streams OSM XML/PBF natively through libosmium readers with
+node|way entity bits (/root/reference/osm2assimp/main.cpp:279-281,
+/root/reference/osmsplit/main.cpp:102-104). This reader gives the engine an
+on-ramp from the same .osm XML files (the format the reference's own test
+generator emits, /root/reference/create_test_osm_file.py) to the
+nodes/ways tables the rest of the pipeline consumes (J1 resolution join,
+ring assembly, spatial join).
+
+Distribution shape: the unit of parallelism is the FILE — the path list is
+parallelized and each task streams its file with ``xml.etree.iterparse``
+(constant memory, elements cleared as consumed) inside ``mapInPandas``.
+OSM XML is not line-splittable, so per-file tasks are the correct granule;
+a planet-scale deployment would ingest .osm.pbf block-parallel instead
+(PBF's Blob framing is splittable) — that codec is an explicit seam here,
+same class of seam as multimodal.decode_real_image. The planet is normally
+distributed as ONE huge pbf, but any real pipeline re-shards it (the
+reference's osmsplit exists precisely to produce many per-region files, so
+multi-file parallelism is the reference's own scaling model).
+
+Output is a single entity table in file order (kind='node'|'way'), mirroring
+the reference's one-pass handler stream; ``nodes()``/``ways()`` project the
+typed views. Reading the entity table twice (once per view) re-parses the
+file — the reference's own two-pass shape (ways-only rescan,
+/root/reference/osmsplit/osmsplitwriter.cpp:146-148); cache the entity
+DataFrame when both views are consumed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+ENTITY_SCHEMA = T.StructType([
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("id", T.LongType(), False),
+    T.StructField("lon", T.DoubleType(), True),
+    T.StructField("lat", T.DoubleType(), True),
+    T.StructField("refs", T.ArrayType(T.LongType()), True),
+    T.StructField("tags", T.MapType(T.StringType(), T.StringType()), True),
+])
+
+_BATCH = 10000
+
+
+def iter_osm_xml(path: str) -> Iterator[dict]:
+    """Stream one .osm XML file as entity dicts (nodes then ways in file
+    order). iterparse + clear() keeps memory constant regardless of file
+    size — the same streaming discipline as the reference's osmium readers.
+    Relations are skipped (the reference never processes them,
+    SURVEY.md §1.1)."""
+    import xml.etree.ElementTree as ET
+
+    for _, elem in ET.iterparse(path, events=("end",)):
+        if elem.tag == "node":
+            yield {
+                "kind": "node",
+                "id": int(elem.get("id")),
+                "lon": float(elem.get("lon")),
+                "lat": float(elem.get("lat")),
+                "refs": None,
+                "tags": {t.get("k"): t.get("v") for t in elem.findall("tag")} or None,
+            }
+            elem.clear()
+        elif elem.tag == "way":
+            yield {
+                "kind": "way",
+                "id": int(elem.get("id")),
+                "lon": None,
+                "lat": None,
+                "refs": [int(nd.get("ref")) for nd in elem.findall("nd")],
+                "tags": {t.get("k"): t.get("v") for t in elem.findall("tag")},
+            }
+            elem.clear()
+        elif elem.tag in ("bounds", "tag", "nd"):
+            pass  # children are consumed by their parents above
+
+
+def read_osm_entities(spark: SparkSession, paths: list[str] | str,
+                      tasks_per_file: int = 1) -> DataFrame:
+    """Parse .osm file(s) into the entity table, one task per file."""
+    if isinstance(paths, str):
+        paths = [paths]
+    pdf = spark.createDataFrame(pd.DataFrame({"path": paths})) \
+        .repartition(len(paths))
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for path in b["path"]:
+                buf: list[dict] = []
+                for ent in iter_osm_xml(path):
+                    buf.append(ent)
+                    if len(buf) >= _BATCH:
+                        yield pd.DataFrame(buf)
+                        buf = []
+                if buf:
+                    yield pd.DataFrame(buf)
+
+    return pdf.mapInPandas(parse, ENTITY_SCHEMA)
+
+
+def nodes(entities: DataFrame) -> DataFrame:
+    return entities.filter(entities.kind == "node").select("id", "lon", "lat")
+
+
+def ways(entities: DataFrame) -> DataFrame:
+    return entities.filter(entities.kind == "way").select("id", "refs", "tags")
+
+
+def read_osm_xml(spark: SparkSession, paths: list[str] | str
+                 ) -> tuple[DataFrame, DataFrame]:
+    """(nodes_df, ways_df) with the engine's standard OSM schemas
+    (id/lon/lat; id/refs/tags — SURVEY.md §1.3)."""
+    ents = read_osm_entities(spark, paths)
+    return nodes(ents), ways(ents)

@@ -1,0 +1,72 @@
+"""OSM XML ingestion (sources/osm.py) validated on a file produced by the
+REFERENCE's own test generator (/root/reference/create_test_osm_file.py,
+run as a black box), then driven through the J1 nodes-ways resolution
+pipeline — the analog of /root/reference/test.py:85-100."""
+
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from geoutils_spark.sources import osm
+
+# reference test extents/space (/root/reference/test.py:39-52):
+# 14 rows x 23 cols -> 322 buildings, 28 highways, 5 nodes per grid square
+EXTENTS = "-0.085415,51.522852,-0.076432,51.528441"
+N_BUILDINGS, N_HIGHWAYS, N_NODES = 322, 28, 1610
+
+
+@pytest.fixture(scope="module")
+def osm_file(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("osm") / "ref_test.osm")
+    subprocess.run(
+        [sys.executable, "/root/reference/create_test_osm_file.py", path,
+         "--extents=" + EXTENTS, "-s", "0.0002"],
+        check=True, capture_output=True)
+    return path
+
+
+def test_read_counts(spark, osm_file):
+    nodes, ways = osm.read_osm_xml(spark, osm_file)
+    assert nodes.count() == N_NODES
+    w = ways.select(
+        "id", "refs",
+        F.try_element_at("tags", F.lit("building")).alias("b"),
+        F.try_element_at("tags", F.lit("highway")).alias("h"),
+    ).collect()
+    assert sum(1 for r in w if r.b is not None) == N_BUILDINGS
+    assert sum(1 for r in w if r.h is not None) == N_HIGHWAYS
+
+
+def test_ring_assembly_on_reference_file(spark, osm_file):
+    """J1 pipeline: every building way resolves to a closed 5-point ring
+    whose bbox is a 0.0002-degree square."""
+    nodes, ways = osm.read_osm_xml(spark, osm_file)
+    buildings = ways.filter(F.try_element_at("tags", F.lit("building")).isNotNull())
+    exploded = buildings.select(
+        F.col("id").alias("way_id"), F.posexplode("refs").alias("pos", "ref"))
+    resolved = exploded.join(F.broadcast(nodes), exploded.ref == nodes.id)
+    agg = resolved.groupBy("way_id").agg(
+        F.count("*").alias("n_pts"),
+        F.count_distinct("ref").alias("n_distinct"),
+        (F.max("lon") - F.min("lon")).alias("w"),
+        (F.max("lat") - F.min("lat")).alias("h"),
+    ).collect()
+    assert len(agg) == N_BUILDINGS
+    for r in agg:
+        assert r.n_pts == 5 and r.n_distinct == 4  # closed ring
+        assert abs(r.w - 0.0002) < 1e-12 and abs(r.h - 0.0002) < 1e-12
+
+
+def test_s2_cover_of_reference_file(spark, osm_file):
+    """End-to-end: ingest reference XML -> TRUE S2 level-12 cover == the two
+    cells the reference pins as osms2split output filenames
+    (/root/reference/test.py:80-83)."""
+    from geoutils_spark.functions import s2cells as S2
+
+    nodes, _ = osm.read_osm_xml(spark, osm_file)
+    df = S2.with_s2_cell(nodes, "lon", "lat", 12, "c")
+    hexes = sorted(r.h for r in
+                   df.select(S2.s2_hex_col(F.col("c")).alias("h")).distinct().collect())
+    assert hexes == ["48761cb000000000", "48761cd000000000"]
