@@ -223,6 +223,44 @@ def geo_knn(spark, sf_dir):
     return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
+@register(
+    "geo_knn_exact",
+    f"""
+    WITH pts AS (
+      SELECT doc_id, {_DLON} AS lon, {_DLAT} AS lat FROM documents
+    ),
+    q AS (SELECT doc_id AS query_id, lon, lat FROM pts WHERE doc_id % 100 = 0),
+    cand AS (
+      SELECT q.query_id, p.doc_id AS neighbor_id,
+             {haversine_m_sql('q.lon', 'q.lat', 'p.lon', 'p.lat')} AS d
+      FROM q, pts p WHERE p.doc_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY d ASC, neighbor_id ASC) AS rank
+      FROM cand
+    ) WHERE rank <= 5
+    """,
+)
+def geo_knn_exact(spark, sf_dir):
+    """Escalating kNN (knn_join_exact): level 18 / ring 1 is deliberately
+    too fine for the fixture density, so most queries fail the guaranteed
+    self-check and take the brute-force escalation pass — yet the result
+    must STILL equal the oracle's exact cross-join top-k (ADVICE r1 item:
+    unconditional exactness)."""
+    from geoutils_spark.operators.knn import knn_join_exact
+
+    pts = _documents_points(spark, sf_dir)
+    q = pts.filter(F.col("doc_id") % 100 == 0).selectExpr(
+        "doc_id as query_id", "lon", "lat")
+    c = pts.selectExpr("doc_id as neighbor_id", "lon", "lat")
+    out = knn_join_exact(q, c, k=5, level=18, ring=1,
+                         q_id="query_id", c_id="neighbor_id")
+    return out.select("query_id", "neighbor_id",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 def _grid_sql(nx: int = 6, ny: int = 3) -> str:
     """Regenerate the fixture building grid in SQL (identical float math to
     fixtures.polygon_grid)."""

@@ -133,3 +133,67 @@ def test_stream_static_broadcast_enrich(spark, events_batch, events_stream):
     want = {r.category: r["count"] for r in
             events_batch.join(dim, "event_type").groupBy("category").count().collect()}
     assert got == want and len(got) == 4
+
+
+def test_streaming_dedup_matches_batch_drop_list(spark, tmp_path_factory):
+    """Incremental foreachBatch dedup over id-ordered micro-batches ==
+    the batch drop-list (drop iff exact-Jaccard>=0.7 near-dup of a
+    smaller/earlier doc), including suppression by already-dropped docs."""
+    from geoutils_spark.operators import dedup as DD
+    from geoutils_spark.streaming.dedup import IncrementalDeduper
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    mut = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(0))), " ")
+        .alias("text"))
+    corpus = docs.unionByName(mut)
+
+    # batch twin: greedy keep-smallest-id drop list
+    pairs = DD.minhash_lsh_pairs(corpus, min_est_jaccard=0.5)
+    drop = {r.id_b for r in pairs.filter(F.col("exact_jaccard") >= 0.7)
+            .select("id_b").distinct().collect()}
+    all_ids = {r.doc_id for r in corpus.collect()}
+
+    # stream: two id-ordered micro-batches (arrival order == id order)
+    src = str(tmp_path_factory.mktemp("dedup_src"))
+    lo = corpus.filter(F.col("doc_id") < 100000)
+    hi = corpus.filter(F.col("doc_id") >= 100000)
+    lo.coalesce(1).write.parquet(src + "/b0")
+    hi.coalesce(1).write.parquet(src + "/b1")
+    store = str(tmp_path_factory.mktemp("dedup_store"))
+    ckpt = str(tmp_path_factory.mktemp("dedup_ckpt"))
+    ded = IncrementalDeduper(store)
+    # drive the two batches in order through the same code path foreachBatch
+    # uses (deterministic batch boundaries for the parity check)
+    ded.process_batch(spark.read.parquet(src + "/b0"), 0)
+    ded.process_batch(spark.read.parquet(src + "/b1"), 1)
+    kept = {r.doc_id for r in spark.read.parquet(ded.kept_dir).collect()}
+    assert kept == all_ids - drop
+    assert drop, "fixture must actually drop something"
+
+
+def test_streaming_dedup_foreachbatch_wiring(spark, tmp_path_factory):
+    """attach(): the foreachBatch stream runs end-to-end (availableNow) and
+    drops an exact duplicate arriving in a later file."""
+    from geoutils_spark.streaming.dedup import IncrementalDeduper
+
+    src = str(tmp_path_factory.mktemp("wire_src"))
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")],
+        "doc_id long, text string").coalesce(1).write.parquet(src + "/f0")
+    spark.createDataFrame(
+        [(3, "alpha beta gamma delta epsilon zeta"),
+         (4, "totally different words entirely here now")],
+        "doc_id long, text string").coalesce(1).write.parquet(src + "/f1")
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    store = str(tmp_path_factory.mktemp("wire_store"))
+    ckpt = str(tmp_path_factory.mktemp("wire_ckpt"))
+    q = IncrementalDeduper(store).attach(stream, ckpt)
+    q.awaitTermination()
+    kept = {r.doc_id for r in spark.read.parquet(store + "/kept").collect()}
+    assert 4 in kept and 1 in kept and 2 in kept
+    assert 3 not in kept  # exact dup of doc 1 from the earlier file
