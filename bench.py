@@ -39,6 +39,17 @@ HEADLINE = [
     "emb_knn_cosine",
 ]
 
+# r2 additions, timed and reported but EXCLUDED from the headline total so
+# `value` stays protocol-identical to BENCH_r01 (round-over-round
+# regressions visible on the same 15-query + pipeline basis).
+EXTRA = [
+    "geo_spatial_join_holes",
+    "geo_zonal_area",
+    "geo_s2_parity",
+    "geo_knn_exact",
+    "emb_near_dup",
+]
+
 
 def _session():
     from pyspark.sql import SparkSession
@@ -114,7 +125,7 @@ def main():
     times["pipeline_spatial_join"] = round(best, 3)
     times["pipeline_pages_per_sec"] = round(N_PAGES / best, 1)
 
-    for name in HEADLINE:
+    for name in HEADLINE + EXTRA:
         fn = qs[name]
         best = 1e18
         for _ in range(reps):
@@ -123,7 +134,8 @@ def main():
             df.count()
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
-    total = round(sum(v for k, v in times.items() if k != "pipeline_pages_per_sec"), 3)
+    total = round(sum(v for k, v in times.items()
+                      if k != "pipeline_pages_per_sec" and k not in EXTRA), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
         sf = float(sf)
