@@ -75,7 +75,13 @@ def density_histogram(points: DataFrame, bbox: tuple[float, float, float, float]
                       d: int = 1024, sample_fraction: float | None = None,
                       lon: str = "lon", lat: str = "lat") -> list[tuple[int, int, int]]:
     """Sampled D×D density histogram (reference A2, mapsplit.h:115-132) as a
-    small collected list of (xbucket, ybucket, count)."""
+    small collected list of (xbucket, ybucket, count).
+
+    The collect() is bounded BY DESIGN at <= d*d small rows (d=1024 ⇒ <=1M,
+    mirroring the reference's in-memory uint32 grid, mapsplit.h:46); the
+    assert keeps an accidental huge ``d`` from turning this into an
+    unbounded driver fetch."""
+    assert d <= 4096, f"density grid d={d} would collect up to d^2 rows"
     minx, miny, maxx, maxy = bbox
     df = points
     if sample_fraction is not None and sample_fraction < 1.0:

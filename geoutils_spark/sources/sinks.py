@@ -59,3 +59,54 @@ def write_partitioned_by_leaf(df: DataFrame, path: str, leaf: str = "leaf",
     if entity_kind is not None:
         out = out.sortWithinPartitions(entity_kind)
     out.write.mode(mode).partitionBy(leaf).parquet(path)
+
+
+def write_obj_meshes(meshes: DataFrame, out_dir: str,
+                     group_col: str | None = None, level: int | None = None,
+                     lon: str = "center_lon", lat: str = "center_lat") -> None:
+    """S8 geometry-export sink: extruded meshes -> Wavefront OBJ files.
+
+    The reference exports scenes through assimp (obj/fbx/gltf/dae,
+    /root/reference/osm2assimp/assimpwriter.cpp:193-234); OBJ is the one
+    format that is pure text and dependency-free, so it is the native
+    export here (fbx/gltf would be the assimp-equivalent seam). Input is
+    the ``extrude_polygons`` mesh schema (way_id, vx, vy, vz, faces).
+
+    Layout: one ``.obj`` per output partition, one ``o way_<id>`` object
+    per mesh with vertex indices rebased per file (A6 index-rebase
+    semantics, but per-file). ``group_col`` (e.g. a cell token from
+    ``with_cell_token``) routes meshes so one task owns one file —
+    tile-artifact export at scale with zero driver involvement.
+    """
+    import os
+
+    df = meshes
+    if group_col is None:
+        group_col = "__grp"
+        df = df.withColumn(group_col, F.lit("scene"))
+    df = df.repartition(F.col(group_col))
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(rows):
+        handles = {}
+        offsets = {}
+        try:
+            for r in rows:
+                g = r[group_col]
+                if g not in handles:
+                    handles[g] = open(os.path.join(out_dir, f"{g}.obj"), "w")
+                    offsets[g] = 0
+                    handles[g].write("# geoutils_spark OBJ export\n")
+                f = handles[g]
+                base = offsets[g]
+                f.write(f"o way_{r['way_id']}\n")
+                for x, y, z in zip(r["vx"], r["vy"], r["vz"]):
+                    f.write(f"v {x!r} {y!r} {z!r}\n")
+                for face in r["faces"]:
+                    f.write("f " + " ".join(str(base + i + 1) for i in face) + "\n")
+                offsets[g] = base + len(r["vx"])
+        finally:
+            for f in handles.values():
+                f.close()
+
+    df.foreachPartition(write_partition)

@@ -99,3 +99,66 @@ def test_rasterize_and_zonal(spark):
     z15 = zonal_stats(pts, polys, level=15).collect()
     # at level 15 (~0.011 deg) the 0.25 column falls outside the cover
     assert z15[0].n_points == 20
+
+
+def test_clean_ring(spark):
+    """G6 polygon cleaning: duplicate + collinear vertices removed; tiny
+    jitter below tol removed; clean rings unchanged (reference Clipper
+    CleanPolygon semantics, utils.cpp:160-165)."""
+    from pyspark.sql import functions as F
+
+    from geoutils_spark.functions.geometry import with_clean_ring
+
+    def ring(pts):
+        return [{"lon": float(x), "lat": float(y)} for x, y in pts]
+
+    rows = [
+        # duplicate consecutive vertex + collinear midpoint on bottom edge
+        (1, ring([(0, 0), (0.5, 0), (1, 0), (1, 0), (1, 1), (0, 1), (0, 0)])),
+        # already clean square
+        (2, ring([(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)])),
+        # degenerate: collapses under tol
+        (3, ring([(0, 0), (1e-12, 0), (0, 1e-12), (0, 0)])),
+    ]
+    df = spark.createDataFrame(
+        rows, "way_id long, ring array<struct<lon:double,lat:double>>")
+    got = {r.way_id: r.clean_ring
+           for r in with_clean_ring(df, "ring", tol=1e-9).collect()}
+    assert [(p.lon, p.lat) for p in got[1]] == [
+        (0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]
+    assert [(p.lon, p.lat) for p in got[2]] == [
+        (0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]
+    assert got[3] == []
+
+
+def test_obj_export_sink(spark, tmp_path):
+    """S8: extrude -> OBJ text export; re-parse the files and check vertex/
+    face counts and index rebasing (reference assimp export semantics,
+    assimpwriter.cpp:193-234, format reduced to the dependency-free OBJ)."""
+    from geoutils_spark.operators.extrude import extrude_polygons
+    from geoutils_spark.sources import fixtures
+    from geoutils_spark.sources.sinks import write_obj_meshes
+
+    polys = fixtures.polygons_df(spark).filter("kind = 'building'") \
+        .withColumn("height", F.lit(30.0))
+    meshes = extrude_polygons(polys, "height")
+    out = str(tmp_path / "obj")
+    write_obj_meshes(meshes, out)
+    import glob
+    files = glob.glob(out + "/*.obj")
+    assert files
+    n_v = n_f = n_o = 0
+    max_index = 0
+    for p in files:
+        for line in open(p):
+            if line.startswith("v "):
+                n_v += 1
+            elif line.startswith("f "):
+                n_f += 1
+                max_index = max(max_index, *[int(t) for t in line.split()[1:]])
+            elif line.startswith("o "):
+                n_o += 1
+    stats = meshes.agg(F.sum("n_vertices").alias("v"), F.sum("n_faces").alias("f"),
+                       F.count("*").alias("o")).collect()[0]
+    assert (n_v, n_f, n_o) == (stats.v, stats.f, stats.o)
+    assert max_index == n_v  # 1-based indices rebased per file, all in range
