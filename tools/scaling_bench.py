@@ -29,6 +29,7 @@ import os
 import shutil
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -148,8 +149,12 @@ def main() -> int:
           f"{hw_eff:.3f}); hardware-normalized efficiency: {norm_eff:.3f}")
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(f"""# BENCH/BASELINE — two-cluster-size scaling evidence
+    # APPEND to the run log — BENCH/BASELINE.md is the curated cumulative
+    # summary (hand-maintained run table); overwriting it destroyed r1's
+    # history once.
+    with open(os.path.join(REPO, "BENCH", "RUNS.md"), "a") as f:
+        f.write(f"""
+# Scaling run ({time.strftime('%Y-%m-%d %H:%M')}) — two-cluster-size evidence
 
 Protocol (BASELINE.md; north rule "N and 4N executors, efficiency >= 0.8"):
 the identical `spark-submit --py-files dist/geoutils_spark.zip
@@ -193,7 +198,7 @@ parallelism changed. Single-JVM local mode also shares one GC/allocator
 across all cores (a real multi-executor deployment would not), so this
 measure is conservative.
 """)
-    print("wrote BENCH/BASELINE.md")
+    print("appended BENCH/RUNS.md")
     if not args.keep_input:
         shutil.rmtree(input_path, ignore_errors=True)
     # Gate on the DECLARED metric — raw efficiency (north rule). The
