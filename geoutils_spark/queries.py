@@ -1209,6 +1209,123 @@ def geo_polygon_area(spark, sf_dir):
 
 
 @register(
+    "geo_clean_ring",
+    f"""
+    WITH grid AS ({_grid_sql()}),
+    rings AS (
+      SELECT way_id,
+             [maxx, minx, minx, maxx, maxx] AS rx,
+             [maxy, maxy, miny, miny, maxy] AS ry
+      FROM grid
+    ),
+    r0 AS (
+      SELECT way_id,
+             list_transform(range(1, 6),
+                            i -> {{'lon': rx[i], 'lat': ry[i]}}) AS ring0,
+             rx, ry
+      FROM rings
+    ),
+    dirty AS (
+      SELECT way_id,
+             list_concat(list_concat(
+               [ring0[1]],
+               flatten(list_transform(range(1, 5), k ->
+                 [ring0[k],
+                  {{'lon': (rx[k] + rx[k+1]) / 2.0,
+                    'lat': (ry[k] + ry[k+1]) / 2.0}}]))),
+               [ring0[5]]) AS d
+      FROM r0
+    ),
+    p1 AS (
+      SELECT way_id, d,
+             list_filter(d[1:len(d)-1],
+                         (p, i) -> i = 1 OR NOT
+                           (p.lon = (d[1:len(d)-1])[i-1].lon AND
+                            p.lat = (d[1:len(d)-1])[i-1].lat)) AS dd
+      FROM dirty
+    ),
+    p1b AS (
+      SELECT way_id, d,
+             CASE WHEN len(dd) >= 2 AND dd[1].lon = dd[len(dd)].lon
+                       AND dd[1].lat = dd[len(dd)].lat
+                  THEN dd[1:len(dd)-1] ELSE dd END AS dd
+      FROM p1
+    ),
+    p2 AS (
+      SELECT way_id, d,
+             list_filter(dd, (p, i) ->
+               CASE WHEN
+                 (dd[(i % len(dd)) + 1].lon - dd[((i - 2 + len(dd)) % len(dd)) + 1].lon)
+                   * (dd[(i % len(dd)) + 1].lon - dd[((i - 2 + len(dd)) % len(dd)) + 1].lon)
+                 + (dd[(i % len(dd)) + 1].lat - dd[((i - 2 + len(dd)) % len(dd)) + 1].lat)
+                   * (dd[(i % len(dd)) + 1].lat - dd[((i - 2 + len(dd)) % len(dd)) + 1].lat) = 0.0
+               THEN FALSE
+               ELSE
+                 ((p.lon - dd[((i - 2 + len(dd)) % len(dd)) + 1].lon)
+                    * (dd[(i % len(dd)) + 1].lat - dd[((i - 2 + len(dd)) % len(dd)) + 1].lat)
+                  - (p.lat - dd[((i - 2 + len(dd)) % len(dd)) + 1].lat)
+                    * (dd[(i % len(dd)) + 1].lon - dd[((i - 2 + len(dd)) % len(dd)) + 1].lon))
+                 * ((p.lon - dd[((i - 2 + len(dd)) % len(dd)) + 1].lon)
+                    * (dd[(i % len(dd)) + 1].lat - dd[((i - 2 + len(dd)) % len(dd)) + 1].lat)
+                  - (p.lat - dd[((i - 2 + len(dd)) % len(dd)) + 1].lat)
+                    * (dd[(i % len(dd)) + 1].lon - dd[((i - 2 + len(dd)) % len(dd)) + 1].lon))
+                 > 1e-18 * (
+                   (dd[(i % len(dd)) + 1].lon - dd[((i - 2 + len(dd)) % len(dd)) + 1].lon)
+                     * (dd[(i % len(dd)) + 1].lon - dd[((i - 2 + len(dd)) % len(dd)) + 1].lon)
+                   + (dd[(i % len(dd)) + 1].lat - dd[((i - 2 + len(dd)) % len(dd)) + 1].lat)
+                     * (dd[(i % len(dd)) + 1].lat - dd[((i - 2 + len(dd)) % len(dd)) + 1].lat))
+               END) AS c
+      FROM p1b
+    ),
+    closed AS (
+      SELECT way_id, d,
+             CASE WHEN len(c) >= 3 THEN list_concat(c, [c[1]]) ELSE [] END AS cr
+      FROM p2
+    )
+    SELECT way_id,
+           CAST(len(d) AS BIGINT) AS n_dirty,
+           CAST(len(cr) AS BIGINT) AS n_clean,
+           ROUND(list_sum(list_transform(range(1, len(cr)),
+             i -> cr[i].lon * cr[i+1].lat - cr[i+1].lon * cr[i].lat)) / 2.0, 12)
+             AS area
+    FROM closed
+    """,
+)
+def geo_clean_ring(spark, sf_dir):
+    """G6 polygon cleaning through the driver contract: fixture rings are
+    DIRTIED deterministically (duplicate first vertex + exact midpoint
+    inserted on every edge), then cleaned (near-duplicate pass + collinear
+    pass, reference Clipper CleanPolygon semantics utils.cpp:160-165); the
+    cleaned ring's size and shoelace area must match the oracle replaying
+    the identical construction + filters. tol=1e-9 (deg) so only the exact
+    artifacts are removed."""
+    from geoutils_spark.functions.geometry import signed_area_col, with_clean_ring
+
+    polys = fixtures.polygons_df(spark).filter(F.col("kind") == "building")
+    ring = F.col("ring")
+    n = F.size(ring)
+
+    def mid(p, q):
+        return F.struct(((p["lon"] + q["lon"]) / F.lit(2.0)).alias("lon"),
+                        ((p["lat"] + q["lat"]) / F.lit(2.0)).alias("lat"))
+
+    edges = F.slice(ring, 1, n - 1)
+    dirty_mid = F.flatten(F.transform(
+        edges,
+        lambda p, k: F.array(p, mid(p, F.element_at(ring, (k + F.lit(2)).cast("int"))))))
+    dirty = F.concat(F.array(F.element_at(ring, 1)), dirty_mid,
+                     F.slice(ring, n, 1))
+    df = polys.select("way_id", dirty.alias("dirty"))
+    df = with_clean_ring(df, "dirty", out="cr", tol=1e-9)
+    return df.select(
+        "way_id",
+        F.size("dirty").cast("long").alias("n_dirty"),
+        F.size("cr").cast("long").alias("n_clean"),
+        F.round(signed_area_col(F.col("cr")), 12).alias("area"),
+    )
+
+
+@register(
     "geo_zonal_stats",
     f"""
     WITH pts AS (
