@@ -832,6 +832,51 @@ def _nodes_ways_sql() -> str:
     """
 
 
+def _osm_s2_split_sql() -> str:
+    from geoutils_spark.functions import s2cells as S2
+
+    lut, stages = S2.s2_sql_parts("lon", "lat", 12, "s2_cell")
+    ctes = [
+        _nodes_ways_sql().strip().lstrip(),
+        lut,
+        ("q0 AS (SELECT w.way_id, c.lon, c.lat, s2lut.t "
+         "FROM way_refs w JOIN corners c ON w.ref = c.node_id, s2lut)"),
+    ]
+    prev = "q0"
+    for k, (name, expr) in enumerate(stages):
+        nxt = f"q{k + 1}"
+        ctes.append(f"{nxt} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = nxt
+    return ("WITH " + ",\n    ".join(ctes)
+            + f"""
+    SELECT DISTINCT way_id, s2_cell,
+           lpad(lower(hex(s2_cell::UBIGINT)), 16, '0') AS s2_hex
+    FROM {prev}""")
+
+
+@register("osm_s2_split", _osm_s2_split_sql())
+def osm_s2_split(spark, sf_dir):
+    """The osms2split tile-assignment core with TRUE S2 ids: resolve each
+    way's nodes (J1), assign every node its level-12 real-S2 cell, and emit
+    the way's DISTINCT covered-cell set — exactly the per-way
+    `cellsCovered` loop of the reference
+    (/root/reference/osms2split/src/s2splitter.cpp:91-105) with the same
+    uint64 ids and `s2_<hex16>` tokens it uses as output filenames."""
+    from geoutils_spark.functions import s2cells as S2
+
+    nodes, ways = fixtures.nodes_ways_df(spark, nx=_NX, ny=_NY)
+    buildings = ways.filter(F.try_element_at("tags", F.lit("building")).isNotNull())
+    exploded = buildings.select(
+        F.col("id").alias("way_id"), F.explode("refs").alias("ref"))
+    resolved = exploded.join(F.broadcast(nodes), exploded.ref == nodes.id) \
+        .select("way_id", "lon", "lat")
+    df = S2.with_s2_cell(resolved, "lon", "lat", 12, "s2_cell")
+    return df.select(
+        "way_id", "s2_cell",
+        S2.s2_hex_col(F.col("s2_cell")).alias("s2_hex"),
+    ).distinct()
+
+
 @register(
     "osm_ring_assembly",
     f"""

@@ -90,3 +90,47 @@ def test_parent_level_hex_invariants():
     # hex roundtrip
     for c, h in zip(c12, S2.s2_to_hex_np(c12)):
         assert int(h, 16) == np.uint64(c)
+
+
+# -- property-based invariants (numpy backend; mirrors test_cells.py) --------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        lon=st.floats(-180.0, 180.0, allow_nan=False),
+        lat=st.floats(-89.999, 89.999, allow_nan=False),
+        level=st.integers(1, 30),
+    )
+    def test_prop_center_roundtrip_and_parent(lon, lat, level):
+        c = S2.s2_cell_np([lon], [lat], level)
+        # level recovered from trailing bits
+        assert int(S2.s2_level_np(c)[0]) == level
+        # center re-encodes to the same cell
+        clon, clat = S2.s2_center_np(c)
+        assert int(S2.s2_cell_np(clon, clat, level)[0]) == int(c[0])
+        # parent containment interval (S2's descendant-range algebra)
+        if level > 1:
+            p = S2.s2_parent_np(c, level - 1)
+            lsb = int(p[0]) & -int(p[0])
+            assert p[0] - lsb + 1 <= c[0] <= p[0] + lsb - 1
+            assert int(S2.s2_level_np(p)[0]) == level - 1
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        lon=st.floats(-180.0, 180.0, allow_nan=False),
+        lat=st.floats(-89.999, 89.999, allow_nan=False),
+    )
+    def test_prop_hex_roundtrip_and_validity(lon, lat):
+        c = int(S2.s2_cell_np([lon], [lat], 12)[0])
+        h = S2.s2_to_hex_np([c])[0]
+        assert len(h) == 16 and int(h, 16) == c % (1 << 64)
+        # valid S2 id: face in 0..5, lsb at an even bit position
+        face = (c >> 61) & 7
+        assert face <= 5
+        lsb = c & -c
+        assert (lsb.bit_length() - 1) % 2 == 0
+except ImportError:  # pragma: no cover
+    pass
