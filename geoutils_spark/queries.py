@@ -2059,3 +2059,69 @@ def rel_exact_percentiles(spark, sf_dir):
         F.min(F.when(F.col("rn") * 2 >= F.col("cnt"), F.col("o_totalprice"))).alias("p50"),
         F.min(F.when(F.col("rn") * 10 >= F.col("cnt") * 9, F.col("o_totalprice"))).alias("p90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal block — binary image columns + frame sampling through the
+# driver contract (the codec itself is the documented seam; the synth
+# header, decode round-trip and frame-index plumbing are fully checkable).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_image_meta",
+    f"""
+    SELECT doc_id,
+           CAST(doc_id % 320 + 16 AS INTEGER) AS width,
+           CAST((doc_id * 7) % 240 + 16 AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS INTEGER) AS channels,
+           (['png', 'jpeg', 'webp'])[CAST(doc_id % 3 AS INTEGER) + 1] AS format,
+           CAST(48 AS BIGINT) AS n_bytes,
+           TRUE AS valid
+    FROM documents
+    """,
+)
+def mm_image_meta(spark, sf_dir):
+    """Multimodal round-trip through the REAL distributed plumbing: a
+    deterministic binary image payload is synthesized JVM-side
+    (FAKM header, functions/multimodal.py), decoded back by the
+    mapInPandas Arrow decode, and the recovered metadata must equal the
+    oracle's direct arithmetic — proving the binary encode/decode path
+    (the slot a real codec plugs into) is lossless."""
+    from geoutils_spark.functions import multimodal as MM
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    d = d.withColumn("image", MM.synth_image_col(F.col("doc_id")))
+    out = MM.decode_image_meta(d, "image")
+    return out.select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.channels").alias("channels"),
+        F.col("meta.format").alias("format"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.valid").alias("valid"),
+    )
+
+
+@register(
+    "mm_frame_sample",
+    """
+    WITH vids AS (
+      SELECT doc_id, CAST(doc_id % 50 + 1 AS BIGINT) AS n_frames
+      FROM documents
+    )
+    SELECT v.doc_id, CAST(f.i AS BIGINT) AS frame_idx
+    FROM vids v, LATERAL (SELECT UNNEST(range(0, v.n_frames, 10)) AS i) f
+    """,
+)
+def mm_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing (every-10th frame-index explode over a
+    per-document frame count) — pure column ops, per-frame decode is the
+    codec seam."""
+    from geoutils_spark.functions import multimodal as MM
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.pmod(F.col("doc_id"), F.lit(50)) + 1).alias("n_frames"))
+    out = MM.sample_frames(d, "n_frames", every=10)
+    return out.select("doc_id", F.col("frame_idx").cast("long").alias("frame_idx"))

@@ -30,11 +30,22 @@ CELL_PREFIX = "s2_"
 
 
 def with_cell_token(df: DataFrame, lon: str, lat: str, level: int,
-                    out: str = "cell_hex") -> DataFrame:
-    """Add the reference's filename token ``s2_<hex16>`` for the row's cell."""
-    df = C.with_cell(df, lon, lat, level, "__cell")
-    df = df.withColumn(out, F.concat(F.lit(CELL_PREFIX),
-                                     C.cell_to_hex_col(F.col("__cell"))))
+                    out: str = "cell_hex", backend: str = "mercator") -> DataFrame:
+    """Add the reference's filename token ``s2_<hex16>`` for the row's cell.
+
+    ``backend='s2'`` uses TRUE S2 ids (functions/s2cells.py), producing the
+    exact tokens the reference writes as osms2split filenames
+    (s2splitter.cpp:60-72 — e.g. ``s2_48761cb000000000``);
+    ``'mercator'`` keeps the engine's native single-face index."""
+    if backend == "s2":
+        from geoutils_spark.functions import s2cells as S2
+
+        df = S2.with_s2_cell(df, lon, lat, level, "__cell")
+        hexcol = S2.s2_hex_col(F.col("__cell"))
+    else:
+        df = C.with_cell(df, lon, lat, level, "__cell")
+        hexcol = C.cell_to_hex_col(F.col("__cell"))
+    df = df.withColumn(out, F.concat(F.lit(CELL_PREFIX), hexcol))
     return df.drop("__cell")
 
 

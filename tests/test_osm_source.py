@@ -70,3 +70,21 @@ def test_s2_cover_of_reference_file(spark, osm_file):
     hexes = sorted(r.h for r in
                    df.select(S2.s2_hex_col(F.col("c")).alias("h")).distinct().collect())
     assert hexes == ["48761cb000000000", "48761cd000000000"]
+
+
+def test_s2_partitioned_sink_golden_dirs(spark, osm_file, tmp_path):
+    """S5 with TRUE S2 tokens: partition directories for the reference file
+    are EXACTLY the reference's two osms2split output filenames."""
+    import os
+
+    from geoutils_spark.sources import osm
+    from geoutils_spark.sources.sinks import with_cell_token
+
+    nodes, _ = osm.read_osm_xml(spark, osm_file)
+    toks = with_cell_token(nodes, "lon", "lat", 12, backend="s2")
+    out = str(tmp_path / "s2sink")
+    toks.repartition(F.col("cell_hex")) \
+        .write.mode("overwrite").partitionBy("cell_hex").parquet(out)
+    dirs = sorted(d.split("=")[1] for d in os.listdir(out)
+                  if d.startswith("cell_hex="))
+    assert dirs == ["s2_48761cb000000000", "s2_48761cd000000000"]
