@@ -124,6 +124,52 @@ def area_raster(polygons: DataFrame, extents, nx: int, ny: int) -> DataFrame:
     return out
 
 
+def grid_rasterize(points: DataFrame, extents, nx: int, ny: int,
+                   lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """points -> (i, j, n_points) on the regular lon/lat grid (the same grid
+    area_raster clips against); points outside ``extents`` are excluded."""
+    lon0, lat0, lon1, lat1 = extents
+    dx = (lon1 - lon0) / nx
+    dy = (lat1 - lat0) / ny
+    i = F.floor((F.col(lon) - F.lit(lon0)) / F.lit(dx)).cast("long")
+    j = F.floor((F.col(lat) - F.lit(lat0)) / F.lit(dy)).cast("long")
+    df = points.select(i.alias("i"), j.alias("j"))
+    df = df.filter((F.col("i") >= 0) & (F.col("i") < nx)
+                   & (F.col("j") >= 0) & (F.col("j") < ny))
+    return df.groupBy("i", "j").agg(F.count("*").alias("n_points"))
+
+
+def area_weighted_zonal(points: DataFrame, polygons: DataFrame, extents,
+                        nx: int, ny: int,
+                        lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """THE standard raster↔vector zonal: per polygon, point counts weighted
+    by the EXACT intersection-area fraction of each raster cell —
+    ``Σ n_points(cell) * area(poly ∩ cell) / area(cell)``.
+
+    (way_id, n_cells, n_points, weighted_pts). Cells contribute only where
+    both the polygon and points touch them (inner join). The weighted sum
+    is computed in integer fixed point (n * cell_fp) so aggregation order
+    cannot change the result — same parity design as operators/clip.py.
+
+    Scale shape: the fact table collapses to occupied grid cells BEFORE the
+    join (map-side-combinable agg), then one broadcast-able equi-join on
+    (i, j) against the clipped polygon raster; never a point-level join.
+    """
+    lon0, lat0, lon1, lat1 = extents
+    dx = (lon1 - lon0) / nx
+    dy = (lat1 - lat0) / ny
+    raster = grid_rasterize(points, extents, nx, ny, lon, lat)
+    areas = area_raster(polygons, extents, nx, ny)
+    joined = raster.join(F.broadcast(areas), on=["i", "j"])
+    denom = 2.0 * clip.FP_SCALE * (dx * dy)
+    return joined.groupBy("way_id").agg(
+        F.count("*").alias("n_cells"),
+        F.sum("n_points").cast("long").alias("n_points"),
+        (F.sum(F.col("cell_fp") * F.col("n_points")).cast("double")
+         / F.lit(denom)).alias("weighted_pts"),
+    )
+
+
 def area_zonal_stats(polygons: DataFrame, extents, nx: int, ny: int) -> DataFrame:
     """(way_id, n_cells, area_deg2): per-polygon cell count + total
     intersection area in squared degrees (= polygon area when the grid

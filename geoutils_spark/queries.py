@@ -336,10 +336,10 @@ def geo_spatial_join_holes(spark, sf_dir):
     return out.select("page_id", "way_id")
 
 
-def _zonal_area_sql(D: int = 16) -> str:
-    """DuckDB twin of area_zonal_stats over the donut grid: identical
-    Sutherland–Hodgman clip arithmetic + fixed-point shoelace (see
-    operators/clip.py parity design)."""
+def _zonal_cells_sql(D: int = 16) -> str:
+    """WITH-fragment (to ``cellagg``): per-(donut way, grid cell) exact
+    intersection areas in fixed point — identical Sutherland–Hodgman clip
+    arithmetic to operators/clip.py (see its parity design)."""
     from geoutils_spark.operators import clip as CL
 
     lon0, lat0, lon1, lat1 = LONDON_EXTENTS
@@ -360,8 +360,7 @@ def _zonal_area_sql(D: int = 16) -> str:
         f"{'cand' if k == 0 else f's{k}'})"
         for k, (name, expr) in enumerate(stages)
     )
-    return f"""
-    WITH grid AS ({_grid_sql()}),
+    return f"""grid AS ({_grid_sql()}),
     rings AS (
       SELECT way_id, minx, miny, maxx, maxy, [{outer}, {hole}] AS rings
       FROM grid
@@ -389,7 +388,14 @@ def _zonal_area_sql(D: int = 16) -> str:
       SELECT way_id, i, j, ABS(SUM(fp)) AS cell_fp
       FROM scored GROUP BY 1, 2, 3
       HAVING ABS(SUM(fp)) > 0
-    )
+    )"""
+
+
+def _zonal_area_sql(D: int = 16) -> str:
+    from geoutils_spark.operators import clip as CL
+
+    return f"""
+    WITH {_zonal_cells_sql(D)}
     SELECT way_id, COUNT(*) AS n_cells,
            CAST(SUM(cell_fp) AS DOUBLE) / {2.0 * CL.FP_SCALE!r} AS area_deg2
     FROM cellagg GROUP BY way_id
@@ -407,6 +413,46 @@ def geo_zonal_area(spark, sf_dir):
 
     donuts = fixtures.polygons_with_holes_df(spark)
     return area_zonal_stats(donuts, LONDON_EXTENTS, 16, 16)
+
+
+def _zonal_area_weighted_sql(D: int = 16) -> str:
+    from geoutils_spark.operators import clip as CL
+
+    lon0, lat0, lon1, lat1 = LONDON_EXTENTS
+    dx = (lon1 - lon0) / D
+    dy = (lat1 - lat0) / D
+    denom = 2.0 * CL.FP_SCALE * (dx * dy)
+    return f"""
+    WITH {_zonal_cells_sql(D)},
+    praster AS (
+      SELECT i, j, COUNT(*) AS n FROM (
+        SELECT CAST(FLOOR(({_LON} - {_dbl(lon0)}) / {_dbl(dx)}) AS BIGINT) AS i,
+               CAST(FLOOR(({_LAT} - {_dbl(lat0)}) / {_dbl(dy)}) AS BIGINT) AS j
+        FROM orders
+      ) WHERE i >= 0 AND i < {D} AND j >= 0 AND j < {D}
+      GROUP BY 1, 2
+    )
+    SELECT c.way_id, COUNT(*) AS n_cells,
+           CAST(SUM(p.n) AS BIGINT) AS n_points,
+           CAST(SUM(c.cell_fp * p.n) AS DOUBLE) / {denom!r} AS weighted_pts
+    FROM cellagg c JOIN praster p ON c.i = p.i AND c.j = p.j
+    GROUP BY c.way_id
+    """
+
+
+@register("geo_zonal_area_weighted", _zonal_area_weighted_sql())
+def geo_zonal_area_weighted(spark, sf_dir):
+    """THE standard raster↔vector zonal: per-donut-polygon point counts
+    weighted by the exact intersection-area FRACTION of every raster cell
+    (Σ n·area(poly∩cell)/area(cell)) — the area-weighted semantics the
+    reference's constructive Clipper intersections enable
+    (utils.cpp:95-154). Fixed-point weighted sums keep the oracle
+    hash-exact under any aggregation order."""
+    from geoutils_spark.operators.zonal import area_weighted_zonal
+
+    pts = _orders_points(spark, sf_dir)
+    donuts = fixtures.polygons_with_holes_df(spark)
+    return area_weighted_zonal(pts, donuts, LONDON_EXTENTS, 16, 16)
 
 
 def _s2_parity_sql() -> str:
