@@ -55,7 +55,15 @@ def iter_osm_xml(path: str) -> Iterator[dict]:
     SURVEY.md §1.1)."""
     import xml.etree.ElementTree as ET
 
-    for _, elem in ET.iterparse(path, events=("end",)):
+    if path.endswith(".gz"):
+        import gzip
+        src = gzip.open(path, "rb")
+    elif path.endswith(".bz2"):
+        import bz2
+        src = bz2.open(path, "rb")
+    else:
+        src = path
+    for _, elem in ET.iterparse(src, events=("end",)):
         if elem.tag == "node":
             yield {
                 "kind": "node",

@@ -88,3 +88,15 @@ def test_s2_partitioned_sink_golden_dirs(spark, osm_file, tmp_path):
     dirs = sorted(d.split("=")[1] for d in os.listdir(out)
                   if d.startswith("cell_hex="))
     assert dirs == ["s2_48761cb000000000", "s2_48761cd000000000"]
+
+
+def test_read_gzip(spark, osm_file, tmp_path):
+    """Compressed extracts (.osm.gz) read transparently."""
+    import gzip
+    import shutil
+
+    gz = str(tmp_path / "ref_test.osm.gz")
+    with open(osm_file, "rb") as fin, gzip.open(gz, "wb") as fout:
+        shutil.copyfileobj(fin, fout)
+    nodes, ways = osm.read_osm_xml(spark, gz)
+    assert nodes.count() == N_NODES and ways.count() == N_BUILDINGS + N_HIGHWAYS
