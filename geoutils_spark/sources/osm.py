@@ -1,22 +1,21 @@
-"""OSM XML ingestion: .osm files -> nodes/ways DataFrames.
+"""OSM ingestion: .osm / .osm.gz / .osm.bz2 XML and .osm.pbf files ->
+nodes/ways DataFrames.
 
 The reference streams OSM XML/PBF natively through libosmium readers with
 node|way entity bits (/root/reference/osm2assimp/main.cpp:279-281,
-/root/reference/osmsplit/main.cpp:102-104). This reader gives the engine an
-on-ramp from the same .osm XML files (the format the reference's own test
-generator emits, /root/reference/create_test_osm_file.py) to the
-nodes/ways tables the rest of the pipeline consumes (J1 resolution join,
-ring assembly, spatial join).
+/root/reference/osmsplit/main.cpp:102-104). These readers give the engine
+the same on-ramps: XML via stdlib iterparse, PBF via the hand-rolled
+public-spec codec in sources/osmpbf.py (DenseNodes + Ways, zlib blobs) —
+the format planet extracts actually ship in.
 
 Distribution shape: the unit of parallelism is the FILE — the path list is
-parallelized and each task streams its file with ``xml.etree.iterparse``
-(constant memory, elements cleared as consumed) inside ``mapInPandas``.
-OSM XML is not line-splittable, so per-file tasks are the correct granule;
-a planet-scale deployment would ingest .osm.pbf block-parallel instead
-(PBF's Blob framing is splittable) — that codec is an explicit seam here,
-same class of seam as multimodal.decode_real_image. The planet is normally
-distributed as ONE huge pbf, but any real pipeline re-shards it (the
-reference's osmsplit exists precisely to produce many per-region files, so
+parallelized and each task streams its file (constant memory) inside
+``mapInPandas``. OSM XML is not line-splittable, so per-file tasks are the
+correct granule; PBF's independent Blob framing additionally allows
+block-level splitting of one huge file on a real cluster (each Blob
+decodes standalone — osmpbf.iter_osm_pbf processes them one at a time).
+The planet usually re-shards into many per-region files anyway (the
+reference's osmsplit exists precisely to produce that layout, so
 multi-file parallelism is the reference's own scaling model).
 
 Output is a single entity table in file order (kind='node'|'way'), mirroring
@@ -45,6 +44,17 @@ ENTITY_SCHEMA = T.StructType([
 ])
 
 _BATCH = 10000
+
+
+def iter_osm_file(path: str) -> Iterator[dict]:
+    """Dispatch by extension: .osm[.gz|.bz2] XML or .osm.pbf (the format
+    planet extracts ship in — sources/osmpbf.py, hand-rolled public-spec
+    codec)."""
+    if path.endswith(".pbf"):
+        from geoutils_spark.sources.osmpbf import iter_osm_pbf
+        yield from iter_osm_pbf(path)
+    else:
+        yield from iter_osm_xml(path)
 
 
 def iter_osm_xml(path: str) -> Iterator[dict]:
@@ -100,7 +110,7 @@ def read_osm_entities(spark: SparkSession, paths: list[str] | str,
         for b in batches:
             for path in b["path"]:
                 buf: list[dict] = []
-                for ent in iter_osm_xml(path):
+                for ent in iter_osm_file(path):
                     buf.append(ent)
                     if len(buf) >= _BATCH:
                         yield pd.DataFrame(buf)
@@ -119,9 +129,13 @@ def ways(entities: DataFrame) -> DataFrame:
     return entities.filter(entities.kind == "way").select("id", "refs", "tags")
 
 
-def read_osm_xml(spark: SparkSession, paths: list[str] | str
-                 ) -> tuple[DataFrame, DataFrame]:
+def read_osm(spark: SparkSession, paths: list[str] | str
+             ) -> tuple[DataFrame, DataFrame]:
     """(nodes_df, ways_df) with the engine's standard OSM schemas
-    (id/lon/lat; id/refs/tags — SURVEY.md §1.3)."""
+    (id/lon/lat; id/refs/tags — SURVEY.md §1.3); format by extension."""
     ents = read_osm_entities(spark, paths)
     return nodes(ents), ways(ents)
+
+
+# back-compat name (the reader has always dispatched on extension)
+read_osm_xml = read_osm

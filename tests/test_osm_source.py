@@ -100,3 +100,36 @@ def test_read_gzip(spark, osm_file, tmp_path):
         shutil.copyfileobj(fin, fout)
     nodes, ways = osm.read_osm_xml(spark, gz)
     assert nodes.count() == N_NODES and ways.count() == N_BUILDINGS + N_HIGHWAYS
+
+
+def test_pbf_roundtrip_matches_xml(spark, osm_file, tmp_path):
+    """PBF codec: write the reference corpus as .osm.pbf (DenseNodes + Ways,
+    zlib blobs), read it back through the SAME Spark reader path, and match
+    the XML reader row-for-row (ids, coords at pbf 100-nano granularity,
+    refs, tags)."""
+    from geoutils_spark.sources.osmpbf import iter_osm_pbf, write_osm_pbf
+
+    nodes_x, ways_x = osm.read_osm_xml(spark, osm_file)
+    nrows = sorted((r.id, r.lon, r.lat) for r in nodes_x.collect())
+    wrows = sorted((r.id, tuple(r.refs), tuple(sorted(r.tags.items())))
+                   for r in ways_x.collect())
+
+    pbf = str(tmp_path / "ref_test.osm.pbf")
+    write_osm_pbf(pbf,
+                  [(i, lo, la) for i, lo, la in nrows],
+                  [(i, list(refs), dict(tags)) for i, refs, tags in wrows])
+
+    # raw iterator sanity
+    ents = list(iter_osm_pbf(pbf))
+    assert sum(1 for e in ents if e["kind"] == "node") == N_NODES
+    assert sum(1 for e in ents if e["kind"] == "way") == N_BUILDINGS + N_HIGHWAYS
+
+    # through the distributed reader
+    nodes_p, ways_p = osm.read_osm_xml(spark, pbf)  # dispatches on .pbf
+    prows = sorted((r.id, r.lon, r.lat) for r in nodes_p.collect())
+    assert [i for i, _, _ in prows] == [i for i, _, _ in nrows]
+    for (_i, lo1, la1), (_j, lo2, la2) in zip(nrows, prows):
+        assert abs(lo1 - lo2) < 1e-7 and abs(la1 - la2) < 1e-7  # 100-nano grid
+    pw = sorted((r.id, tuple(r.refs), tuple(sorted(r.tags.items())))
+                for r in ways_p.collect())
+    assert pw == wrows
