@@ -133,3 +133,29 @@ def test_pbf_roundtrip_matches_xml(spark, osm_file, tmp_path):
     pw = sorted((r.id, tuple(r.refs), tuple(sorted(r.tags.items())))
                 for r in ways_p.collect())
     assert pw == wrows
+
+
+def test_osms2split_end_to_end_pbf(spark, osm_file, tmp_path):
+    """THE osms2split contract, end to end: reference XML in -> per-cell
+    .osm.pbf out with EXACTLY the reference's pinned output filenames
+    (/root/reference/test.py:80-83), each file re-readable by the pbf
+    reader with complete, deduped contents."""
+    from geoutils_spark.sources.sinks import write_s2_split_pbf
+
+    nodes, ways = osm.read_osm(spark, osm_file)
+    out = str(tmp_path / "split")
+    files = write_s2_split_pbf(nodes, ways, out, level=12)
+    assert files == ["s2_48761cb000000000.osm.pbf",
+                     "s2_48761cd000000000.osm.pbf"]
+    total_ways = 0
+    for fn in files:
+        n2, w2 = osm.read_osm(spark, out + "/" + fn)
+        nrows = n2.collect()
+        wrows = w2.collect()
+        assert len({r.id for r in nrows}) == len(nrows)  # deduped nodes
+        have = {r.id for r in nrows}
+        for wr in wrows:
+            assert set(wr.refs) <= have  # every way fully resolvable
+        total_ways += len(wrows)
+    # every way lands in >= 1 cell; ways spanning the cell boundary appear twice
+    assert total_ways >= N_BUILDINGS + N_HIGHWAYS
