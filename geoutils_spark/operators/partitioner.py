@@ -231,3 +231,23 @@ def histogram_to_pgm(hist: list[tuple[int, int, int]], d: int, path: str,
         f.write(f"P5\n{d} {d}\n255\n".encode())
         f.write(bytes(grid))
     return path
+
+
+def leaf_names_for_bbox_col(plan: SplitNode, minx: Column, miny: Column,
+                            maxx: Column, maxy: Column) -> Column:
+    """ALL leaves a bbox overlaps, as an array column — the reference's
+    ``filesForBox`` descent (osmsplitconfig.cpp:128-154): a way whose bbox
+    spans a split boundary is written to both sides."""
+    empty = F.array().cast("array<string>")
+
+    def rec(node: SplitNode) -> Column:
+        if node.left is None:
+            return F.array(F.lit(node.name))
+        lo = miny if node.sort_by_lat else minx
+        hi = maxy if node.sort_by_lat else maxx
+        return F.concat(
+            F.when(lo < node.mid, rec(node.left)).otherwise(empty),
+            F.when(hi >= node.mid, rec(node.right)).otherwise(empty),
+        )
+
+    return rec(plan)

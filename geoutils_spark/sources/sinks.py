@@ -166,13 +166,28 @@ def write_s2_split_pbf(nodes: DataFrame, ways: DataFrame, out_dir: str,
         .join(F.broadcast(nodes.select(F.col("id").alias("ref"), "lon", "lat")),
               on="ref")
     )
-    n = cell_nodes.select("cell_hex", F.col("ref").alias("id"), "lon", "lat") \
+    return _write_grouped_pbf(cell_nodes.withColumnRenamed("cell_hex", "grp"),
+                              way_cells.withColumnRenamed("cell_hex", "grp"),
+                              out_dir)
+
+
+def _write_grouped_pbf(cell_nodes: DataFrame, way_cells: DataFrame,
+                       out_dir: str) -> list[str]:
+    """Shared grouped sink: (grp, ref, lon, lat) nodes + (grp, way_id, refs,
+    tags) ways -> one ``<grp>.osm.pbf`` per group, nodes-then-ways (the S7
+    consolidation ordering), one task per group (lock-free S6)."""
+    import os
+
+    from geoutils_spark.sources.osmpbf import write_osm_pbf
+
+    os.makedirs(out_dir, exist_ok=True)
+    n = cell_nodes.select("grp", F.col("ref").alias("id"), "lon", "lat") \
         .withColumn("__kind", F.lit(0))
-    w = way_cells.select("cell_hex", F.col("way_id").alias("id"), "refs", "tags") \
+    w = way_cells.select("grp", F.col("way_id").alias("id"), "refs", "tags") \
         .withColumn("__kind", F.lit(1))
     union = n.unionByName(w, allowMissingColumns=True) \
-        .repartition(F.col("cell_hex")) \
-        .sortWithinPartitions("cell_hex", "__kind", "id")
+        .repartition(F.col("grp")) \
+        .sortWithinPartitions("grp", "__kind", "id")
 
     def write_partition(rows):
         cur = None
@@ -185,9 +200,9 @@ def write_s2_split_pbf(nodes: DataFrame, ways: DataFrame, out_dir: str,
                               nbuf, wbuf)
 
         for r in rows:
-            if r["cell_hex"] != cur:
+            if r["grp"] != cur:
                 flush()
-                cur = r["cell_hex"]
+                cur = r["grp"]
                 nbuf, wbuf = [], []
             if r["__kind"] == 0:
                 nbuf.append((r["id"], r["lon"], r["lat"]))
@@ -197,3 +212,39 @@ def write_s2_split_pbf(nodes: DataFrame, ways: DataFrame, out_dir: str,
 
     union.foreachPartition(write_partition)
     return sorted(f for f in os.listdir(out_dir) if f.endswith(".osm.pbf"))
+
+
+def write_leaf_split_pbf(nodes: DataFrame, ways: DataFrame, out_dir: str,
+                         plan) -> list[str]:
+    """The complete osmsplit tool: one ``<leaf>.osm.pbf`` per split-plan
+    leaf (filenames ``{prefix}{binary path}`` — the reference's 2^L files
+    ``test[01]{4}.osm.pbf``, /root/reference/test.py:63-74). A way routes
+    to EVERY leaf its node-bbox overlaps (filesForBox,
+    osmsplitconfig.cpp:128-154; way pass osmsplitwriter.cpp:150-180), with
+    its full node set; per-leaf nodes dedupe.
+    """
+    from geoutils_spark.operators.partitioner import leaf_names_for_bbox_col
+
+    resolved = (
+        ways.select(F.col("id").alias("way_id"), "refs", "tags",
+                    F.explode("refs").alias("ref"))
+        .join(F.broadcast(nodes.select(F.col("id").alias("ref"),
+                                       "lon", "lat")), on="ref")
+    )
+    boxed = resolved.groupBy("way_id").agg(
+        F.first("refs").alias("refs"), F.first("tags").alias("tags"),
+        F.min("lon").alias("__minx"), F.min("lat").alias("__miny"),
+        F.max("lon").alias("__maxx"), F.max("lat").alias("__maxy"),
+    )
+    boxed = boxed.withColumn(
+        "grp",
+        F.explode(leaf_names_for_bbox_col(
+            plan, F.col("__minx"), F.col("__miny"),
+            F.col("__maxx"), F.col("__maxy"))))
+    way_cells = boxed.select("grp", "way_id", "refs", "tags")
+    cell_nodes = (
+        way_cells.select("grp", F.explode("refs").alias("ref")).distinct()
+        .join(F.broadcast(nodes.select(F.col("id").alias("ref"), "lon", "lat")),
+              on="ref")
+    )
+    return _write_grouped_pbf(cell_nodes, way_cells, out_dir)

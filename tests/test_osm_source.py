@@ -159,3 +159,34 @@ def test_osms2split_end_to_end_pbf(spark, osm_file, tmp_path):
         total_ways += len(wrows)
     # every way lands in >= 1 cell; ways spanning the cell boundary appear twice
     assert total_ways >= N_BUILDINGS + N_HIGHWAYS
+
+
+def test_osmsplit_end_to_end_pbf(spark, osm_file, tmp_path):
+    """THE osmsplit contract (reference test_OsmSplit, test.py:63-74):
+    reference file in -> sampled density histogram -> 4-level weighted-
+    median split plan -> exactly 16 files test[01]{4}.osm.pbf out, every
+    way fully resolvable in each of its files."""
+    import re
+
+    from geoutils_spark.operators.partitioner import (build_split_plan,
+                                                      density_histogram)
+    from geoutils_spark.sources.sinks import write_leaf_split_pbf
+
+    nodes, ways = osm.read_osm(spark, osm_file)
+    rows = nodes.collect()
+    bbox = (min(r.lon for r in rows), min(r.lat for r in rows),
+            max(r.lon for r in rows) + 1e-9, max(r.lat for r in rows) + 1e-9)
+    hist = density_histogram(nodes, bbox, d=256)
+    plan = build_split_plan(hist, bbox, levels=4, d=256, name_prefix="test")
+    out = str(tmp_path / "leafsplit")
+    files = write_leaf_split_pbf(nodes, ways, out, plan)
+    assert len(files) == 16
+    rx = re.compile(r"test[01]{4}\.osm\.pbf")
+    assert all(rx.fullmatch(f) for f in files)
+    # leaves are roughly balanced and every way resolvable per file
+    for fn in files[:4]:
+        n2, w2 = osm.read_osm(spark, out + "/" + fn)
+        have = {r.id for r in n2.collect()}
+        assert have
+        for wr in w2.collect():
+            assert set(wr.refs) <= have
