@@ -110,25 +110,26 @@ def minhash_lsh_pairs(
     repartition by bucket (the lone shuffle) → self-join → distinct pairs.
     """
     rows_per_band = num_hashes // bands
+    # ONE signature computation + ONE by-id exchange of the payload
+    # (signature + shingles), shared by every downstream consumer: the
+    # banded key derivation and BOTH pair join-backs read this same
+    # exchange (identical subplan -> Spark ReusedExchange), so the corpus
+    # is scanned once and document payloads cross the wire exactly once —
+    # never bands x payload (r1 verdict) and never 3x recomputed.
     sig = docs.select(
         F.col(id_col).alias("__id"),
         word_shingles_col(F.col(text_col), k_shingle).alias("__sh"),
-    ).withColumn("__sig", minhash_signature_col(F.col("__sh"), num_hashes))
-    # SLIM band join (r1 verdict): only (id, band, key) travels through the
-    # candidate self-join — never the document-sized shingle arrays or
-    # signatures, which at corpus scale would amplify shuffle bytes by
-    # bands x payload on BOTH sides. Signatures/shingles are joined back BY
-    # ID after pair dedup, touching each candidate pair once.
+    ).withColumn("__sig", minhash_signature_col(F.col("__sh"), num_hashes)) \
+        .repartition(F.col("__id"))
+    # SLIM band join: only (id, band, key) travels through the candidate
+    # self-join. Band keys are derived post-exchange from the materialized
+    # signature attribute (cheap md5 over 12 strings — no re-inlined
+    # minhash trees, keeping codegen small), then exchanged by bucket.
     banded = sig.select(
         "__id",
         F.explode(band_keys_col(F.col("__sig"), bands, rows_per_band)).alias("__bk"),
     ).select("__id",
              F.col("__bk.band").alias("__band"), F.col("__bk.key").alias("__key"))
-    # Materialize the key expression through an exchange before the
-    # self-join: the join's sort then reads plain attributes instead of the
-    # inlined signature expression tree (which blows whole-stage codegen
-    # past 64KB and drops the sort to interpreted mode). The shuffle is not
-    # extra work — a shuffle join needs this exchange anyway.
     banded = banded.repartition(F.col("__band"), F.col("__key"))
     a = banded.select(F.col("__id").alias("id_a"), "__band", "__key")
     b = banded.select(F.col("__id").alias("id_b"), "__band", "__key")
@@ -138,13 +139,10 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # repartition-by-id: the join-back shuffle materializes signatures/
-    # shingles as attributes so downstream agreement/Jaccard expressions
-    # read columns, not re-inlined minhash trees (codegen size guard).
     sa = sig.select(F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"),
-                    F.col("__sh").alias("sh_a")).repartition(F.col("id_a"))
+                    F.col("__sh").alias("sh_a"))
     sb = sig.select(F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b"),
-                    F.col("__sh").alias("sh_b")).repartition(F.col("id_b"))
+                    F.col("__sh").alias("sh_b"))
     pairs = pairs.join(sa, on="id_a").join(sb, on="id_b")
     pairs = pairs.withColumn(
         "est_jaccard", sig_agreement_col(F.col("sig_a"), F.col("sig_b"), num_hashes)
@@ -369,12 +367,17 @@ def embedding_near_dup_pairs(
     the identical algorithm.
     """
     dims = _plane_dims(n_tables * planes_per_table)
-    from geoutils_spark.operators.similarity import cosine_chain_col
+    from geoutils_spark.operators.similarity import dot_chain_col
 
-    v = vectors.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__e"))
-    # One projection per table bucket (stepwise withColumn): keeps each
-    # generated method small even when __e is itself a big expression
-    # (CollapseProject leaves non-cheap multi-use producers separate).
+    # ONE by-id exchange of (id, vector, chain-norm), shared by the bucket
+    # derivation and both pair join-backs (identical subplan -> Spark
+    # ReusedExchange): vectors computed and shuffled exactly once, and
+    # downstream expressions read plain attributes (codegen size guard
+    # even when __e is itself a big expression).
+    v = vectors.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__e"),
+    ).withColumn("__n", F.sqrt(dot_chain_col(F.col("__e"), F.col("__e")))) \
+        .repartition(F.col("__id"))
     k = v
     for t in range(n_tables):
         k = k.withColumn(
@@ -398,20 +401,13 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # repartition-by-id: materializes the vectors (and their row-local
-    # chain-sum norms) as plain attributes through the exchange — a shuffle
-    # the id join-back needs at scale anyway — so per-pair work is ONE
-    # dot-chain, not three (filter pushdown would otherwise duplicate
-    # 3 x dim-term chains and explode codegen). The norm chain computed
-    # pre-join is bit-identical to the oracle's inline sqrt(dot(a,a)).
-    from geoutils_spark.operators.similarity import dot_chain_col
-
+    # join-backs read the shared by-id exchange; per-pair work is ONE
+    # dot-chain (norms precomputed row-locally pre-exchange, bit-identical
+    # to the oracle's inline sqrt(dot(a,a))).
     va = v.select(F.col("__id").alias("id_a"), F.col("__e").alias("e_a"),
-                  F.sqrt(dot_chain_col(F.col("__e"), F.col("__e"))).alias("__na")) \
-          .repartition(F.col("id_a"))
+                  F.col("__n").alias("__na"))
     vb = v.select(F.col("__id").alias("id_b"), F.col("__e").alias("e_b"),
-                  F.sqrt(dot_chain_col(F.col("__e"), F.col("__e"))).alias("__nb")) \
-          .repartition(F.col("id_b"))
+                  F.col("__n").alias("__nb"))
     pairs = (
         pairs.join(va, on="id_a").join(vb, on="id_b")
         # chain-sum dot: bit-identical evaluation order vs the SQL twin
