@@ -51,3 +51,20 @@ def write_pages_partitioned(df: DataFrame, location: str, cell_level: int = 8,
         w.format("iceberg").saveAsTable(location)
     else:
         w.parquet(location)
+
+
+def write_bucketed_by_cell(df: DataFrame, table: str, n_buckets: int = 64,
+                           cell: str = "cell_id",
+                           mode: str = "overwrite") -> None:
+    """Hash-bucketed, bucket-sorted table on the cell key — the
+    pre-partitioning lever for REPEATED joins at scale: two tables bucketed
+    the same way join with ZERO exchanges (co-located sort-merge), so the
+    100-TB fact table pays its shuffle once at write time instead of per
+    query. Iceberg's `bucket(N, cell)` transform is the same spec; the
+    parquet fallback uses the session-catalog bucketing
+    (test_bucketed_join_is_shuffle_free proves the no-Exchange plan)."""
+    (df.repartition(n_buckets, F.col(cell))
+       .write.mode(mode)
+       .bucketBy(n_buckets, cell).sortBy(cell)
+       .format("parquet")
+       .saveAsTable(table))

@@ -62,3 +62,41 @@ def test_area_raster_partition_of_area(spark):
     space = fixtures.grid_space()
     total = r.cell_fp.sum() / 2.0 / clip.FP_SCALE
     np.testing.assert_allclose(total, space * space * 0.75, rtol=1e-6)
+
+
+def test_clip_partition_additivity_random(spark):
+    """150 random convex quadrilaterals: clipping against a 2x2 split of a
+    window partitions the area — sum of quadrant pieces == whole-window
+    piece (within fixed-point resolution), one batched Spark job."""
+    import math
+    import random
+
+    rnd = random.Random(42)
+    rows = []
+    for q in range(150):
+        cx, cy = rnd.uniform(-4, 4), rnd.uniform(-4, 4)
+        r1, r2 = rnd.uniform(0.1, 3.0), rnd.uniform(0.1, 3.0)
+        rot = rnd.uniform(0, 2 * math.pi)
+        pts = [(cx + (r1 if k % 2 == 0 else r2) * math.cos(rot + k * math.pi / 2),
+                cy + (r1 if k % 2 == 0 else r2) * math.sin(rot + k * math.pi / 2))
+               for k in range(4)]
+        rx = [p[0] for p in pts] + [pts[0][0]]
+        ry = [p[1] for p in pts] + [pts[0][1]]
+        for k, w in enumerate([(-2.0, 0.0, -2.0, 0.0), (0.0, 2.0, -2.0, 0.0),
+                               (-2.0, 0.0, 0.0, 2.0), (0.0, 2.0, 0.0, 2.0),
+                               (-2.0, 2.0, -2.0, 2.0)]):
+            rows.append((q, k, rx, ry, w[0], w[1], w[2], w[3]))
+    df = spark.createDataFrame(
+        rows, "q long, k long, rx array<double>, ry array<double>, "
+              "x0 double, x1 double, y0 double, y1 double")
+    df = df.withColumn("ring", clip.ring_struct_col(F.col("rx"), F.col("ry")))
+    df = clip.with_clipped_ring(df, "ring", "x0", "x1", "y0", "y1")
+    got = {}
+    for r in df.withColumn("fp", clip.shoelace_fp_col(F.col("clipped"))).collect():
+        got[(r.q, r.k)] = abs(r.fp)
+    for q in range(150):
+        quad_sum = sum(got[(q, k)] for k in range(4))
+        whole = got[(q, 4)]
+        # fp quantization: each ring rounds ~16 edge terms at 1e-12
+        assert abs(quad_sum - whole) <= 5 * 16, (q, quad_sum, whole)
+        assert whole <= got[(q, 4)] + 1  # sanity: pieces bounded by whole

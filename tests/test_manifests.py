@@ -85,3 +85,31 @@ def test_pages_partition_spec(spark, tmp_path):
     one = sorted(months)[0].split("=")[1]
     n = back.filter(F.col("ts_month") == one).count()
     assert 0 < n < 500
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Co-located bucketed join: two tables bucketed on cell_id join with
+    ZERO shuffle exchanges — the write-once-shuffle-never-again lever the
+    scale design names (SCALE.md); Iceberg bucket(N, cell) is the same
+    spec."""
+    from geoutils_spark.functions import cells as C
+    from geoutils_spark.sources.tables import write_bucketed_by_cell
+
+    pts = spark.range(2000).select(
+        F.col("id").alias("pid"),
+        ((F.col("id") % 50).cast("double") / 100.0).alias("lon"),
+        ((F.col("id") / 50).cast("int").cast("double") / 100.0).alias("lat"))
+    pts = C.with_cell(pts, "lon", "lat", 12, "cell_id")
+    try:
+        write_bucketed_by_cell(pts.select("pid", "cell_id"), "t_bucket_a", 8)
+        write_bucketed_by_cell(pts.select(F.col("pid").alias("qid"), "cell_id"),
+                               "t_bucket_b", 8)
+        a = spark.table("t_bucket_a")
+        b = spark.table("t_bucket_b")
+        joined = a.join(b, on="cell_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")
