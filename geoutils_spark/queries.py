@@ -2171,3 +2171,30 @@ def mm_frame_sample(spark, sf_dir):
         "doc_id", (F.pmod(F.col("doc_id"), F.lit(50)) + 1).alias("n_frames"))
     out = MM.sample_frames(d, "n_frames", every=10)
     return out.select("doc_id", F.col("frame_idx").cast("long").alias("frame_idx"))
+
+
+@register(
+    "geom_ground_mesh",
+    """
+    SELECT CAST(0 AS BIGINT) AS group_id,
+           CAST(72 AS BIGINT) AS n_vertices,
+           CAST(110 AS BIGINT) AS n_faces
+    """,
+)
+def geom_ground_mesh(spark, sf_dir):
+    """G7 Delaunay ground mesh (reference ground.cpp:104-158) over the
+    fixture building corners. The oracle is the EULER-CHARACTERISTIC
+    expectation, not a re-triangulation: the corner set is a 12x6 lattice
+    (72 distinct points, 32 on the rectangular boundary), and EVERY valid
+    triangulation of a planar point set has exactly 2N - 2 - B triangles
+    (T = 2*72 - 2 - 32 = 110). Matching it proves the engine produced a
+    complete, non-overlapping triangulation of the full point set; the
+    geometric Delaunay property itself (empty circumcircles, CCW, exact
+    hull area) is pinned by tests/test_ground.py."""
+    from geoutils_spark.operators.ground import ground_mesh
+
+    polys = fixtures.polygons_df(spark).filter(F.col("kind") == "building")
+    pts = polys.select(
+        F.lit(0).alias("group_id"), F.explode(F.col("ring")).alias("p"),
+    ).select("group_id", F.col("p.lon").alias("lon"), F.col("p.lat").alias("lat"))
+    return ground_mesh(pts).select("group_id", "n_vertices", "n_faces")
