@@ -45,9 +45,14 @@ HEADLINE = [
 EXTRA = [
     "geo_spatial_join_holes",
     "geo_zonal_area",
+    "geo_zonal_area_weighted",
     "geo_s2_parity",
     "geo_knn_exact",
     "emb_near_dup",
+    "geo_clean_ring",
+    "osm_s2_split",
+    "geom_ground_mesh",
+    "mm_image_meta",
 ]
 
 
