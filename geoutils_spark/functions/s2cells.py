@@ -183,6 +183,29 @@ def _face_uv_to_xyz_np(face, u, v):
     return x, y, z
 
 
+def s2_corners_np(cell: np.ndarray):
+    """Cell -> 4 corner (lon, lat) arrays, CCW in (u,v):
+    (lo,lo),(hi,lo),(hi,hi),(lo,hi) — reference s2util 'corners'
+    (s2util.h:49-66, S2Cell::GetVertex order)."""
+    cell = np.asarray(cell, np.int64)
+    face, i, j = s2_to_face_ij_np(cell)
+    level = s2_level_np(cell)
+    size = np.int64(1) << (2 * (S2_MAX_LEVEL - level) // 2)
+    i_lo = i & ~(size - 1)
+    j_lo = j & ~(size - 1)
+    out = []
+    for di, dj in ((0, 0), (1, 0), (1, 1), (0, 1)):
+        si = (i_lo + di * size) / float(1 << 30)
+        ti = (j_lo + dj * size) / float(1 << 30)
+        u = st_to_uv_np(si)
+        v = st_to_uv_np(ti)
+        x, y, z = _face_uv_to_xyz_np(face, u, v)
+        lat = np.degrees(np.arctan2(z, np.hypot(x, y)))
+        lon = np.degrees(np.arctan2(y, x))
+        out.append((lon, lat))
+    return out
+
+
 def s2_level_np(cell: np.ndarray) -> np.ndarray:
     cell = np.asarray(cell, np.int64)
     lsb = cell & -cell

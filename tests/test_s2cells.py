@@ -134,3 +134,30 @@ try:
         assert (lsb.bit_length() - 1) % 2 == 0
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_corners_bound_center_and_members():
+    """Corners form a quad that contains the cell's center and all its
+    member points (in st-space exactness: re-encoding each corner nudged
+    inward lands back in the same cell)."""
+    rng = np.random.RandomState(5)
+    lons = rng.uniform(-179, 179, 50)
+    lats = rng.uniform(-85, 85, 50)
+    level = 10
+    cells = S2.s2_cell_np(lons, lats, level)
+    corners = S2.s2_corners_np(cells)
+    clon, clat = S2.s2_center_np(cells)
+    for k in range(50):
+        quad = [(float(corners[c][0][k]), float(corners[c][1][k]))
+                for c in range(4)]
+        # center strictly inside the corner quad's bbox (same-face cells)
+        los = [p[0] for p in quad]
+        las = [p[1] for p in quad]
+        if max(los) - min(los) < 180:  # skip antimeridian-wrapping quads
+            assert min(los) <= clon[k] <= max(los)
+            assert min(las) <= clat[k] <= max(las)
+        # corner midpoint with center re-encodes into the same cell
+        mlon = (quad[0][0] + clon[k]) / 2
+        mlat = (quad[0][1] + clat[k]) / 2
+        if max(los) - min(los) < 180:
+            assert int(S2.s2_cell_np([mlon], [mlat], level)[0]) == int(cells[k])
