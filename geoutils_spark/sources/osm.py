@@ -139,3 +139,37 @@ def read_osm(spark: SparkSession, paths: list[str] | str
 
 # back-compat name (the reader has always dispatched on extension)
 read_osm_xml = read_osm
+
+
+def read_osm_pbf_split(spark: SparkSession, path: str,
+                       tasks: int = 0) -> DataFrame:
+    """Entity table from ONE .osm.pbf with BLOCK-LEVEL parallelism: blob
+    spans are indexed driver-side (seek-only, O(#blobs)) and distributed so
+    each task decodes its own blob ranges independently — the scale path
+    for a single planet-sized file (PBF Blob framing is splittable; the
+    per-file reader remains the granule for many-file layouts)."""
+    import pandas as pd
+
+    from geoutils_spark.sources.osmpbf import iter_osm_pbf_span, pbf_blob_spans
+
+    spans = pbf_blob_spans(path)
+    if tasks <= 0:
+        tasks = max(1, min(len(spans), spark.sparkContext.defaultParallelism))
+    pdf = spark.createDataFrame(
+        pd.DataFrame({"offset": [s[0] for s in spans],
+                      "length": [s[1] for s in spans]}))
+    pdf = pdf.repartition(tasks)
+
+    def parse(batches):
+        for b in batches:
+            for off, ln in zip(b["offset"], b["length"]):
+                buf: list[dict] = []
+                for ent in iter_osm_pbf_span(path, int(off), int(ln)):
+                    buf.append(ent)
+                    if len(buf) >= _BATCH:
+                        yield pd.DataFrame(buf)
+                        buf = []
+                if buf:
+                    yield pd.DataFrame(buf)
+
+    return pdf.mapInPandas(parse, ENTITY_SCHEMA)

@@ -318,3 +318,50 @@ def _ways_block(ways: list[tuple]) -> bytes:
         msgs.append(_len_field(3, body))
     group = b"".join(msgs)
     return _stringtable(strings) + _len_field(2, group)
+
+
+# ---------------------------------------------------------------------------
+# block-level splitting (one huge file -> many tasks)
+# ---------------------------------------------------------------------------
+
+def pbf_blob_spans(path: str) -> list[tuple[int, int]]:
+    """[(offset, length)] of every OSMData blob — a seek-only driver pass
+    over the blob framing (reads 4-byte lengths + headers, skips payloads),
+    so indexing the planet file costs O(#blobs) tiny reads. Each span is
+    independently decodable: this is what makes pbf block-splittable."""
+    spans = []
+    with open(path, "rb") as f:
+        while True:
+            start = f.tell()
+            head = f.read(4)
+            if len(head) < 4:
+                return spans
+            (hlen,) = struct.unpack(">I", head)
+            header = f.read(hlen)
+            btype = b""
+            datasize = 0
+            for field, _wt, v in _fields(header):
+                if field == 1:
+                    btype = v
+                elif field == 3:
+                    datasize = v
+            f.seek(datasize, 1)
+            if btype == b"OSMData":
+                spans.append((start, 4 + hlen + datasize))
+
+
+def iter_osm_pbf_span(path: str, offset: int, length: int) -> Iterator[dict]:
+    """Stream the entities of one blob span (see pbf_blob_spans)."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        buf = f.read(length)
+    (hlen,) = struct.unpack(">I", buf[:4])
+    blob = buf[4 + hlen:]
+    raw = None
+    for field, _wt, v in _fields(blob):
+        if field == 1:
+            raw = v
+        elif field == 3:
+            raw = zlib.decompress(v)
+    if raw is not None:
+        yield from _iter_primitive_block(raw)

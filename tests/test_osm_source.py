@@ -190,3 +190,25 @@ def test_osmsplit_end_to_end_pbf(spark, osm_file, tmp_path):
         assert have
         for wr in w2.collect():
             assert set(wr.refs) <= have
+
+
+def test_pbf_block_split_read(spark, osm_file, tmp_path):
+    """Block-level parallel read of ONE pbf == the sequential read, with
+    multiple blob spans distributed across tasks."""
+    from geoutils_spark.sources.osmpbf import pbf_blob_spans, write_osm_pbf
+
+    nodes_x, ways_x = osm.read_osm(spark, osm_file)
+    pbf = str(tmp_path / "blocks.osm.pbf")
+    write_osm_pbf(pbf,
+                  [(r.id, r.lon, r.lat) for r in nodes_x.collect()],
+                  [(r.id, list(r.refs), dict(r.tags)) for r in ways_x.collect()],
+                  block_size=200)  # force many blobs
+    spans = pbf_blob_spans(pbf)
+    assert len(spans) > 5  # genuinely multi-blob
+    ents = osm.read_osm_pbf_split(spark, pbf, tasks=4)
+    assert ents.rdd.getNumPartitions() == 4
+    n = osm.nodes(ents)
+    w = osm.ways(ents)
+    assert n.count() == N_NODES
+    assert w.count() == N_BUILDINGS + N_HIGHWAYS
+    assert {r.id for r in n.collect()} == {r.id for r in nodes_x.collect()}
