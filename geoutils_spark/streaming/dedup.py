@@ -57,9 +57,11 @@ class IncrementalDeduper:
     # -- store access -------------------------------------------------------
 
     def _read(self, spark: SparkSession, path: str, schema: str) -> DataFrame:
+        from pyspark.errors import AnalysisException
+
         try:
             return spark.read.parquet(path)
-        except Exception:
+        except AnalysisException:  # PATH_NOT_FOUND on the first batch only
             return spark.createDataFrame([], schema)
 
     def _sigged(self, batch: DataFrame) -> DataFrame:
