@@ -136,7 +136,15 @@ def main():
         for _ in range(reps):
             t0 = time.time()
             df = fn(spark, SF_DIR)
-            df.count()
+            if name in EXTRA:
+                # noop sink: FORCES full computation of projection-only
+                # queries (count() lets Catalyst prune deterministic
+                # projections — the CLAUDE.md bench invariant). HEADLINE
+                # keeps count() for r01 protocol comparability (those are
+                # aggregates/joins that count() cannot prune).
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.count()
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
     total = round(sum(v for k, v in times.items()

@@ -55,8 +55,22 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     u = l.unionByName(r, allowMissingColumns=True)
     # __rv is non-null on EVERY right row (even all-null values) and null on
     # left rows, so last(ignorenulls) = the latest preceding right ROW.
-    # Tiebreak among equal (key, ts) right rows: max struct (deterministic).
-    w = (Window.partitionBy(on).orderBy("__t", "__side", "__rv")
+    # Tiebreak among equal (key, ts) right rows: max struct (deterministic)
+    # — but only when every payload type is orderable (maps are not; those
+    # fall back to the arbitrary-among-exact-duplicates pre-r2 behavior).
+    from pyspark.sql.types import MapType
+
+    def _orderable(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        return all(_orderable(f.dataType) for f in getattr(dt, "fields", []) or []) \
+            and all(_orderable(et) for et in
+                    ([dt.elementType] if hasattr(dt, "elementType") else []))
+
+    order_cols = ["__t", "__side"]
+    if _orderable(u.schema["__rv"].dataType):
+        order_cols.append("__rv")
+    w = (Window.partitionBy(on).orderBy(*order_cols)
          .rowsBetween(Window.unboundedPreceding, 0))
     u = u.withColumn("__m", F.last("__rv", ignorenulls=True).over(w))
     matched = F.col("__m").isNotNull()

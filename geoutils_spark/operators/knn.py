@@ -79,12 +79,21 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int, level: int,
         # The ring search is exact iff the k-th hit lies within the disk the
         # ring provably covers: `ring` whole cells beyond the query's own in
         # every direction. Web-Mercator cells span ~ (C/2^L)*cos(lat) ground
-        # meters in BOTH axes (conformal); an extra 0.9 margin covers the
-        # poleward shrink across the ring, keeping the bound conservative.
+        # meters in BOTH axes (conformal), with cos(lat) DECREASING toward
+        # the poles — so the provable per-cell width over the whole covered
+        # band is bounded below by cos at the band's POLEWARD tile edge
+        # (evaluating cos at the query's own latitude, as r1 did with a
+        # fixed 0.9 fudge, under-covers coarse levels / high latitudes
+        # where the ring spans >10% of cos). 0.98 absorbs fp slack only.
         n = float(1 << level)
-        cell_m = (F.lit(EARTH_CIRCUMFERENCE_M / n)
-                  * F.cos(F.radians(F.col("__qlat"))))
-        safe_r = cell_m * F.lit(0.9 * float(ring))
+        v_north = (F.col("__qy") - F.lit(ring)).cast("double") / F.lit(n)
+        v_south = (F.col("__qy") + F.lit(ring + 1)).cast("double") / F.lit(n)
+        lat_of = lambda v: F.degrees(  # noqa: E731
+            F.atan(F.sinh(F.lit(math.pi) * (F.lit(1.0) - F.lit(2.0) * v))))
+        cos_edge = F.least(F.cos(F.radians(lat_of(v_north))),
+                           F.cos(F.radians(lat_of(v_south))))
+        cell_m = F.lit(EARTH_CIRCUMFERENCE_M / n) * cos_edge
+        safe_r = cell_m * F.lit(0.98 * float(ring))
         # The cover-disk proof requires `ring` WHOLE cells in every direction;
         # neighbor_cells_from_tile_col clamps y at the top/bottom Mercator
         # rows, so a clipped ring covers a poleward-truncated region and the

@@ -73,7 +73,12 @@ def iter_osm_xml(path: str) -> Iterator[dict]:
         src = bz2.open(path, "rb")
     else:
         src = path
-    for _, elem in ET.iterparse(src, events=("end",)):
+    root = None
+    for event, elem in ET.iterparse(src, events=("start", "end")):
+        if event == "start":
+            if root is None:
+                root = elem
+            continue
         if elem.tag == "node":
             yield {
                 "kind": "node",
@@ -95,11 +100,17 @@ def iter_osm_xml(path: str) -> Iterator[dict]:
             }
             elem.clear()
         elif elem.tag in ("bounds", "tag", "nd"):
-            pass  # children are consumed by their parents above
+            continue  # children are consumed by their parents above
+        else:
+            continue
+        # detach processed top-level elements from the accumulating root —
+        # elem.clear() alone leaves them referenced in root's child list
+        # (the classic iterparse leak), growing memory with file size
+        if root is not None:
+            root.clear()
 
 
-def read_osm_entities(spark: SparkSession, paths: list[str] | str,
-                      tasks_per_file: int = 1) -> DataFrame:
+def read_osm_entities(spark: SparkSession, paths: list[str] | str) -> DataFrame:
     """Parse .osm file(s) into the entity table, one task per file."""
     if isinstance(paths, str):
         paths = [paths]

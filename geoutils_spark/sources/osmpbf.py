@@ -148,15 +148,31 @@ def iter_osm_pbf(path: str) -> Iterator[dict]:
             blob = f.read(datasize)
             if btype != b"OSMData":
                 continue
-            raw = None
-            for field, _wt, v in _fields(blob):
-                if field == 1:
-                    raw = v
-                elif field == 3:
-                    raw = zlib.decompress(v)
-            if raw is None:
-                continue
-            yield from _iter_primitive_block(raw)
+            yield from _iter_primitive_block(_decode_blob(blob))
+
+
+_BLOB_CODECS = {4: "lzma", 5: "obsolete-bzip2", 6: "lz4", 7: "zstd"}
+
+
+def _decode_blob(blob: bytes) -> bytes:
+    """Blob payload -> raw PrimitiveBlock bytes. Raw and zlib are the
+    formats this codec emits and the overwhelmingly common ones in the
+    wild; any OTHER compression raises LOUDLY instead of silently dropping
+    the blob's data (newer extracts can ship lz4/zstd blobs)."""
+    raw = None
+    for field, _wt, v in _fields(blob):
+        if field == 1:
+            raw = v
+        elif field == 3:
+            raw = zlib.decompress(v)
+        elif field in _BLOB_CODECS:
+            raise ValueError(
+                f"OSM PBF blob uses unsupported compression "
+                f"'{_BLOB_CODECS[field]}' — re-encode with zlib (osmium cat) "
+                f"or extend sources/osmpbf._decode_blob")
+    if raw is None:
+        raise ValueError("OSM PBF blob carries no raw/zlib payload")
+    return raw
 
 
 def _iter_primitive_block(buf: bytes) -> Iterator[dict]:
@@ -356,12 +372,4 @@ def iter_osm_pbf_span(path: str, offset: int, length: int) -> Iterator[dict]:
         f.seek(offset)
         buf = f.read(length)
     (hlen,) = struct.unpack(">I", buf[:4])
-    blob = buf[4 + hlen:]
-    raw = None
-    for field, _wt, v in _fields(blob):
-        if field == 1:
-            raw = v
-        elif field == 3:
-            raw = zlib.decompress(v)
-    if raw is not None:
-        yield from _iter_primitive_block(raw)
+    yield from _iter_primitive_block(_decode_blob(buf[4 + hlen:]))

@@ -73,8 +73,7 @@ def write_partitioned_by_leaf(df: DataFrame, path: str, leaf: str = "leaf",
 
 
 def write_obj_meshes(meshes: DataFrame, out_dir: str,
-                     group_col: str | None = None, level: int | None = None,
-                     lon: str = "center_lon", lat: str = "center_lat") -> None:
+                     group_col: str | None = None) -> None:
     """S8 geometry-export sink: extruded meshes -> Wavefront OBJ files.
 
     The reference exports scenes through assimp (obj/fbx/gltf/dae,
@@ -140,7 +139,6 @@ def write_s2_split_pbf(nodes: DataFrame, ways: DataFrame, out_dir: str,
     import os
 
     from geoutils_spark.functions import s2cells as S2
-    from geoutils_spark.sources.osmpbf import write_osm_pbf
 
     os.makedirs(out_dir, exist_ok=True)
     resolved = (

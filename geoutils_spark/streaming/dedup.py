@@ -23,7 +23,8 @@ Scale shape: the store grows as the corpus, but the per-batch join touches
 only colliding band buckets (equi-join, broadcast-able batch side); at
 cluster scale the keys table would be bucketed by (band, key) so the join
 is co-located — same plan as the batch LSH join. foreachBatch is
-checkpointable: batch ids are exactly-once against a given checkpoint dir.
+checkpointable, and a batch-id marker table (written last) makes the
+per-batch appends idempotent under foreachBatch's at-least-once replay.
 """
 
 from __future__ import annotations
@@ -53,6 +54,7 @@ class IncrementalDeduper:
         self.kept_dir = os.path.join(store_dir, "kept")
         self._docs = os.path.join(store_dir, "docs")
         self._keys = os.path.join(store_dir, "keys")
+        self._marks = os.path.join(store_dir, "batches")
 
     # -- store access -------------------------------------------------------
 
@@ -74,6 +76,13 @@ class IncrementalDeduper:
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        # Idempotence guard: foreachBatch is at-least-once (a failure after
+        # the appends but before the checkpoint commit replays the batch
+        # with the same id). A marker row written LAST makes the replay a
+        # no-op, so the appends are effectively exactly-once.
+        done = self._read(spark, self._marks, "batch_id long")
+        if done.filter(F.col("batch_id") == batch_id).limit(1).count() > 0:
+            return
         b = self._sigged(batch).localCheckpoint()  # compute sigs once
         bk = b.select("doc_id", F.explode(band_keys_col(
             F.col("sig"), self.bands, self.num_hashes // self.bands)).alias("__bk")
@@ -122,6 +131,8 @@ class IncrementalDeduper:
         # still suppresses its own later near-dups (batch drop-list parity).
         b.select("doc_id", "sig", "sh").write.mode("append").parquet(self._docs)
         bk.write.mode("append").parquet(self._keys)
+        spark.createDataFrame([(int(batch_id),)], "batch_id long") \
+            .write.mode("append").parquet(self._marks)
 
     # -- stream wiring ------------------------------------------------------
 

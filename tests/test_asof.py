@@ -94,3 +94,16 @@ def test_asof_subsecond_tolerance(spark):
     miss = asof_join(left, right, "key", "ts", "qts", ["v"],
                      tolerance_s=0.2).collect()[0]
     assert hit.v == 7.0 and miss.v is None
+
+
+def test_asof_map_value_column(spark):
+    """Unorderable (map) value columns must still work — the deterministic
+    struct tiebreak degrades gracefully (code-review r2 finding)."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:10"), "a")], "key long, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), {"k": "v1"}),
+         (1, _ts("2024-01-01 10:00:05"), {"k": "v2"})],
+        "key long, qts timestamp, attrs map<string,string>")
+    out = asof_join(left, right, "key", "ts", "qts", ["attrs"]).collect()[0]
+    assert out.attrs == {"k": "v2"}  # latest prior row's map

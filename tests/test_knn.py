@@ -98,3 +98,30 @@ def test_knn_polar_ring_not_guaranteed(spark):
     # level 3: lat 84.9 lands in tile row y=0 (clipped ring).
     out = knn_join(q, c, k=3, level=3, ring=1, guaranteed_flag=True).collect()
     assert out and all(not r.guaranteed for r in out)
+
+
+def test_knn_high_lat_coarse_guarantee_sound(spark):
+    """At a coarse level and high latitude the old fixed 0.9 margin could
+    assert `guaranteed` past the ring's provable poleward cover (code-review
+    r2 finding); the cos-at-poleward-edge bound must keep the flag honest:
+    whenever guaranteed=true, the ring answer equals brute force."""
+    from pyspark.sql import functions as F
+
+    from geoutils_spark.operators.knn import knn_join
+
+    # dense east-west chain at lat 70 + a slightly-poleward outlier that a
+    # naive margin could miss
+    rows = [(i, i * 0.3, 70.0) for i in range(40)]
+    rows += [(100 + i, i * 0.3 + 0.05, 70.9) for i in range(40)]
+    pts = spark.createDataFrame(rows, "pid long, lon double, lat double")
+    q = pts.filter(F.col("pid") == 20).select(
+        F.col("pid").alias("query_id"), "lon", "lat")
+    c = pts.select(F.col("pid").alias("neighbor_id"), "lon", "lat")
+    got = knn_join(q, c, k=5, level=5, ring=1, guaranteed_flag=True).toPandas()
+    if got.guaranteed.any():
+        qp, cp = q.toPandas().iloc[0], c.toPandas()
+        d = _hav(qp.lon, qp.lat, cp.lon.to_numpy(), cp.lat.to_numpy())
+        mask = cp.neighbor_id.to_numpy() != qp.query_id
+        want = [int(i) for _, i in
+                sorted(zip(d[mask], cp.neighbor_id.to_numpy()[mask]))[:5]]
+        assert list(got.sort_values("rank").neighbor_id) == want

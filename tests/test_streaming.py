@@ -199,3 +199,21 @@ def test_streaming_dedup_foreachbatch_wiring(spark, tmp_path_factory):
     # docs 1 and 3 are exact duplicates across files: whichever micro-batch
     # arrived first wins, the other is dropped (arrival-order precedence)
     assert len(kept & {1, 3}) == 1
+
+
+def test_streaming_dedup_replay_idempotent(spark, tmp_path_factory):
+    """foreachBatch at-least-once replay: re-processing the same batch_id
+    must not duplicate kept rows or store entries."""
+    from geoutils_spark.streaming.dedup import IncrementalDeduper
+
+    store = str(tmp_path_factory.mktemp("replay_store"))
+    ded = IncrementalDeduper(store)
+    batch = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four")],
+        "doc_id long, text string")
+    ded.process_batch(batch, 0)
+    ded.process_batch(batch, 0)  # replay with the same id
+    kept = spark.read.parquet(store + "/kept").collect()
+    assert len(kept) == 2
+    keys = spark.read.parquet(store + "/keys")
+    assert keys.count() == 2 * 4  # 2 docs x 4 bands, once

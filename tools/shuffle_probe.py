@@ -28,14 +28,9 @@ sys.path.insert(0, REPO)
 
 
 def _mutant_corpus(spark, sf_dir):
-    from pyspark.sql import functions as F
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    toks = F.split(F.col("text"), " ")
-    mut = d.filter(F.col("doc_id") % 3 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.array_join(F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(0))), " ")
-        .alias("text"))
-    return d.unionByName(mut)
+    # the SAME corpus the registered dedup queries run on — import, don't copy
+    from geoutils_spark.queries import _docs_with_mutants
+    return _docs_with_mutants(spark, sf_dir)
 
 
 def payload_pairs(docs):
