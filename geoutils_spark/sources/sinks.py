@@ -246,3 +246,82 @@ def write_leaf_split_pbf(nodes: DataFrame, ways: DataFrame, out_dir: str,
               on="ref")
     )
     return _write_grouped_pbf(cell_nodes, way_cells, out_dir)
+
+
+def write_gltf_meshes(meshes: DataFrame, out_dir: str,
+                      group_col: str | None = None) -> None:
+    """S8 sink, glTF 2.0 flavor: one ``.gltf`` per group — the modern
+    interchange format among the reference's assimp export targets
+    (obj/fbx/gltf/dae, assimpwriter.cpp:16-28). glTF 2.0 is an open JSON +
+    binary-buffer spec, so the writer is dependency-free: one embedded
+    base64 buffer per file holding float32 POSITION + uint32 indices, one
+    mesh node per way. Same grouped one-task-per-file shape as the OBJ
+    sink."""
+    import base64
+    import json
+    import os
+    import struct as _st
+
+    df = meshes
+    if group_col is None:
+        group_col = "__grp"
+        df = df.withColumn(group_col, F.lit("scene"))
+    df = df.repartition(F.col(group_col))
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(rows):
+        scenes: dict[str, list] = {}
+        for r in rows:
+            scenes.setdefault(r[group_col], []).append(r)
+        for grp, ms in scenes.items():
+            buf = bytearray()
+            accessors, views, meshes_js, nodes_js = [], [], [], []
+            for m in ms:
+                pos = b"".join(_st.pack("<fff", x, y, z)
+                               for x, y, z in zip(m["vx"], m["vy"], m["vz"]))
+                idx = b"".join(_st.pack("<I", i)
+                               for f in m["faces"] for i in f)
+                pview = len(views)
+                views.append({"buffer": 0, "byteOffset": len(buf),
+                              "byteLength": len(pos), "target": 34962})
+                buf.extend(pos)
+                iview = len(views)
+                views.append({"buffer": 0, "byteOffset": len(buf),
+                              "byteLength": len(idx), "target": 34963})
+                buf.extend(idx)
+                pacc = len(accessors)
+                accessors.append({
+                    "bufferView": pview, "componentType": 5126,
+                    "count": len(m["vx"]), "type": "VEC3",
+                    "min": [min(m["vx"]), min(m["vy"]), min(m["vz"])],
+                    "max": [max(m["vx"]), max(m["vy"]), max(m["vz"])],
+                })
+                iacc = len(accessors)
+                accessors.append({"bufferView": iview, "componentType": 5125,
+                                  "count": sum(len(f) for f in m["faces"]),
+                                  "type": "SCALAR"})
+                meshes_js.append({
+                    "name": f"way_{m['way_id']}",
+                    "primitives": [{"attributes": {"POSITION": pacc},
+                                    "indices": iacc, "mode": 4}],
+                })
+                nodes_js.append({"mesh": len(meshes_js) - 1,
+                                 "name": f"way_{m['way_id']}"})
+            gltf = {
+                "asset": {"version": "2.0", "generator": "geoutils_spark"},
+                "scene": 0,
+                "scenes": [{"nodes": list(range(len(nodes_js)))}],
+                "nodes": nodes_js,
+                "meshes": meshes_js,
+                "accessors": accessors,
+                "bufferViews": views,
+                "buffers": [{
+                    "byteLength": len(buf),
+                    "uri": "data:application/octet-stream;base64,"
+                           + base64.b64encode(bytes(buf)).decode(),
+                }],
+            }
+            with open(os.path.join(out_dir, f"{grp}.gltf"), "w") as f:
+                json.dump(gltf, f)
+
+    df.foreachPartition(write_partition)

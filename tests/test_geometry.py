@@ -162,3 +162,49 @@ def test_obj_export_sink(spark, tmp_path):
                        F.count("*").alias("o")).collect()[0]
     assert (n_v, n_f, n_o) == (stats.v, stats.f, stats.o)
     assert max_index == n_v  # 1-based indices rebased per file, all in range
+
+
+def test_gltf_export_sink(spark, tmp_path):
+    """S8 glTF flavor: valid glTF 2.0 JSON, one mesh node per way, buffer
+    round-trip (decode base64 -> float32 positions / uint32 indices match
+    the mesh rows)."""
+    import base64
+    import json
+    import struct as _st
+
+    from geoutils_spark.operators.extrude import extrude_polygons
+    from geoutils_spark.sources import fixtures
+    from geoutils_spark.sources.sinks import write_gltf_meshes
+
+    polys = fixtures.polygons_df(spark).filter("kind = 'building'") \
+        .withColumn("height", F.lit(30.0))
+    meshes = extrude_polygons(polys, "height")
+    out = str(tmp_path / "gltf")
+    write_gltf_meshes(meshes, out)
+    import glob
+    files = glob.glob(out + "/*.gltf")
+    assert files
+    n_meshes = 0
+    total_v = total_i = 0
+    for p in files:
+        g = json.load(open(p))
+        assert g["asset"]["version"] == "2.0"
+        n_meshes += len(g["meshes"])
+        uri = g["buffers"][0]["uri"]
+        raw = base64.b64decode(uri.split("base64,", 1)[1])
+        assert len(raw) == g["buffers"][0]["byteLength"]
+        for m in g["meshes"]:
+            pa = g["accessors"][m["primitives"][0]["attributes"]["POSITION"]]
+            ia = g["accessors"][m["primitives"][0]["indices"]]
+            total_v += pa["count"]
+            total_i += ia["count"]
+            # indices in range of the mesh's own vertex count
+            iv = g["bufferViews"][ia["bufferView"]]
+            idx = _st.unpack(f"<{ia['count']}I",
+                             raw[iv["byteOffset"]:iv["byteOffset"] + iv["byteLength"]])
+            assert max(idx) < pa["count"]
+    stats = meshes.agg(F.sum("n_vertices").alias("v"),
+                       F.sum("n_faces").alias("f"),
+                       F.count("*").alias("m")).collect()[0]
+    assert n_meshes == stats.m
+    assert total_v == stats.v and total_i == 3 * stats.f
