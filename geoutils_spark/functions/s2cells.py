@@ -82,7 +82,9 @@ def xyz_to_face_uv_np(x, y, z):
     face = np.where(ax > ay, np.where(ax > az, 0, 2), np.where(ay > az, 1, 2))
     comp = np.choose(face, [x, y, z])
     face = np.where(comp < 0, face + 3, face)
-    with np.errstate(divide="ignore", invalid="ignore"):
+    # over="ignore": np.select evaluates ALL branches, so non-selected-face
+    # divisions may overflow (tiny denominators) before being discarded
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         u = np.select(
             [face == 0, face == 1, face == 2, face == 3, face == 4],
             [y / x, -x / y, -x / z, z / x, z / y], default=-y / z)

@@ -236,18 +236,24 @@ def histogram_to_pgm(hist: list[tuple[int, int, int]], d: int, path: str,
 def leaf_names_for_bbox_col(plan: SplitNode, minx: Column, miny: Column,
                             maxx: Column, maxy: Column) -> Column:
     """ALL leaves a bbox overlaps, as an array column — the reference's
-    ``filesForBox`` descent (osmsplitconfig.cpp:128-154): a way whose bbox
-    spans a split boundary is written to both sides."""
+    ``filesForBox`` descent (osmsplitconfig.cpp:128-154): each node rejects
+    a bbox that misses its OWN extents (inclusive overlap — reject only on
+    strict >/<), so a way spanning a split boundary routes to both sides, a
+    bbox touching the mid line (lo == mid) descends both children (their
+    extents share the mid coordinate), and a bbox wholly outside the root
+    extents yields an EMPTY array, exactly like the reference."""
     empty = F.array().cast("array<string>")
 
     def rec(node: SplitNode) -> Column:
-        if node.left is None:
-            return F.array(F.lit(node.name))
-        lo = miny if node.sort_by_lat else minx
-        hi = maxy if node.sort_by_lat else maxx
-        return F.concat(
-            F.when(lo < node.mid, rec(node.left)).otherwise(empty),
-            F.when(hi >= node.mid, rec(node.right)).otherwise(empty),
+        ex0, ey0, ex1, ey1 = node.bbox
+        miss = (
+            (minx > F.lit(ex1)) | (miny > F.lit(ey1))
+            | (maxx < F.lit(ex0)) | (maxy < F.lit(ey0))
         )
+        if node.left is None:
+            hit = F.array(F.lit(node.name))
+        else:
+            hit = F.concat(rec(node.left), rec(node.right))
+        return F.when(miss, empty).otherwise(hit)
 
     return rec(plan)

@@ -114,6 +114,10 @@ def read_osm_entities(spark: SparkSession, paths: list[str] | str) -> DataFrame:
     """Parse .osm file(s) into the entity table, one task per file."""
     if isinstance(paths, str):
         paths = [paths]
+    if not paths:
+        # createDataFrame from an empty pandas frame + repartition(0) dies
+        # with an obscure error — an empty path list is just an empty table
+        return spark.createDataFrame([], ENTITY_SCHEMA)
     pdf = spark.createDataFrame(pd.DataFrame({"path": paths})) \
         .repartition(len(paths))
 

@@ -131,10 +131,16 @@ def write_s2_split_pbf(nodes: DataFrame, ways: DataFrame, out_dir: str,
     (/root/reference/osms2split/src/s2splitter.cpp:54-72 filenames,
     91-135 per-way cell cover + per-cell node dedup).
 
-    Plan: resolve way nodes (J1 broadcast join), assign per-node S2 cells,
+    Plan: resolve way nodes (J1 join), assign per-node S2 cells,
     dedupe (cell, node) and (cell, way), shuffle BY CELL so exactly one
     task owns each output file (the lock-free S6 shape), and write pbf via
     the dependency-free codec. Returns the written file names.
+
+    Scale note: nodes is the LARGEST OSM table at planet scale, so the
+    ref->node resolution joins are deliberately NOT broadcast-hinted — a
+    shuffled join on ``ref`` is the correct planet plan, and AQE converts
+    it to broadcast at runtime whenever the node side is actually small
+    (fixture scale), so nothing is lost locally.
     """
     import os
 
@@ -144,8 +150,7 @@ def write_s2_split_pbf(nodes: DataFrame, ways: DataFrame, out_dir: str,
     resolved = (
         ways.select(F.col("id").alias("way_id"), "refs", "tags",
                     F.explode("refs").alias("ref"))
-        .join(F.broadcast(nodes.select(F.col("id").alias("ref"),
-                                       "lon", "lat")), on="ref")
+        .join(nodes.select(F.col("id").alias("ref"), "lon", "lat"), on="ref")
     )
     resolved = S2.with_s2_cell(resolved, "lon", "lat", level, "__cell")
     resolved = resolved.withColumn(
@@ -161,8 +166,7 @@ def write_s2_split_pbf(nodes: DataFrame, ways: DataFrame, out_dir: str,
     # in-cell ones — the reference writes the full way node set it has)
     cell_nodes = (
         way_cells.select("cell_hex", F.explode("refs").alias("ref")).distinct()
-        .join(F.broadcast(nodes.select(F.col("id").alias("ref"), "lon", "lat")),
-              on="ref")
+        .join(nodes.select(F.col("id").alias("ref"), "lon", "lat"), on="ref")
     )
     return _write_grouped_pbf(cell_nodes.withColumnRenamed("cell_hex", "grp"),
                               way_cells.withColumnRenamed("cell_hex", "grp"),
@@ -219,15 +223,16 @@ def write_leaf_split_pbf(nodes: DataFrame, ways: DataFrame, out_dir: str,
     ``test[01]{4}.osm.pbf``, /root/reference/test.py:63-74). A way routes
     to EVERY leaf its node-bbox overlaps (filesForBox,
     osmsplitconfig.cpp:128-154; way pass osmsplitwriter.cpp:150-180), with
-    its full node set; per-leaf nodes dedupe.
+    its full node set; per-leaf nodes dedupe. Node-resolution joins are
+    un-hinted (shuffle at planet scale, AQE-broadcast when small) — see
+    ``write_s2_split_pbf``.
     """
     from geoutils_spark.operators.partitioner import leaf_names_for_bbox_col
 
     resolved = (
         ways.select(F.col("id").alias("way_id"), "refs", "tags",
                     F.explode("refs").alias("ref"))
-        .join(F.broadcast(nodes.select(F.col("id").alias("ref"),
-                                       "lon", "lat")), on="ref")
+        .join(nodes.select(F.col("id").alias("ref"), "lon", "lat"), on="ref")
     )
     boxed = resolved.groupBy("way_id").agg(
         F.first("refs").alias("refs"), F.first("tags").alias("tags"),
@@ -242,10 +247,22 @@ def write_leaf_split_pbf(nodes: DataFrame, ways: DataFrame, out_dir: str,
     way_cells = boxed.select("grp", "way_id", "refs", "tags")
     cell_nodes = (
         way_cells.select("grp", F.explode("refs").alias("ref")).distinct()
-        .join(F.broadcast(nodes.select(F.col("id").alias("ref"), "lon", "lat")),
-              on="ref")
+        .join(nodes.select(F.col("id").alias("ref"), "lon", "lat"), on="ref")
     )
-    return _write_grouped_pbf(cell_nodes, way_cells, out_dir)
+    written = _write_grouped_pbf(cell_nodes, way_cells, out_dir)
+    # the reference pre-creates one writer file per leaf before streaming
+    # (osmsplitwriter.cpp:17-48), so a leaf no way routed to still yields a
+    # (header-only) file — its test asserts all 2^L files exist. Backfill
+    # driver-side: bounded at the leaf count.
+    import os
+
+    from geoutils_spark.sources.osmpbf import write_osm_pbf
+
+    for leaf in plan.leaves():
+        fn = f"{leaf.name}.osm.pbf"
+        if fn not in written:
+            write_osm_pbf(os.path.join(out_dir, fn), [], [])
+    return sorted(f for f in os.listdir(out_dir) if f.endswith(".osm.pbf"))
 
 
 def write_gltf_meshes(meshes: DataFrame, out_dir: str,

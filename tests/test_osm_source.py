@@ -27,6 +27,14 @@ def osm_file(tmp_path_factory):
     return path
 
 
+def test_read_empty_paths(spark):
+    """An empty path list is an empty entity table, not an obscure
+    createDataFrame/repartition(0) failure."""
+    ents = osm.read_osm_entities(spark, [])
+    assert ents.count() == 0
+    assert ents.schema == osm.ENTITY_SCHEMA
+
+
 def test_read_counts(spark, osm_file):
     nodes, ways = osm.read_osm_xml(spark, osm_file)
     assert nodes.count() == N_NODES

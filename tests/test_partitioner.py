@@ -55,6 +55,34 @@ def test_leaf_routing_matches_plan(skewed_points):
         assert by_name.get(leaf.name, 0) > 0
 
 
+def test_bbox_leaf_routing_edges(spark, skewed_points):
+    """filesForBox parity (osmsplitconfig.cpp:128-154): a bbox outside the
+    root extents routes to NO leaves; a bbox spanning everything routes to
+    all; a degenerate bbox exactly on the split line routes to BOTH sides
+    (children's extents share the mid coordinate, overlap is inclusive)."""
+    hist = P.density_histogram(skewed_points, BBOX, d=64)
+    plan = P.build_split_plan(hist, BBOX, levels=2, d=64)
+    rows = [
+        (1, 2.0, 2.0, 3.0, 3.0),                  # wholly outside extents
+        (2, 0.0, 0.0, 1.0, 1.0),                  # spans everything
+        (3, plan.mid, 0.1, plan.mid, 0.1),        # on the root split line
+    ]
+    df = spark.createDataFrame(
+        rows, "i long, minx double, miny double, maxx double, maxy double")
+    got = {r.i: sorted(r.leaves) for r in df.select(
+        "i",
+        P.leaf_names_for_bbox_col(
+            plan, F.col("minx"), F.col("miny"),
+            F.col("maxx"), F.col("maxy")).alias("leaves"),
+    ).collect()}
+    assert got[1] == []
+    assert got[2] == sorted(l.name for l in plan.leaves())
+    assert len(got[3]) == 2 and got[3][0] != got[3][1]
+    # one leaf from each side of the root split
+    prefix_len = len(plan.leaves()[0].name) - 2
+    assert {n[prefix_len] for n in got[3]} == {"0", "1"}
+
+
 def test_plan_json_roundtrip(skewed_points):
     hist = P.density_histogram(skewed_points, BBOX, d=64)
     plan = P.build_split_plan(hist, BBOX, levels=2, d=64)
