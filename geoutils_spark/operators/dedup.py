@@ -103,29 +103,50 @@ def minhash_lsh_pairs(
     num_hashes: int = 12,
     bands: int = 4,
     min_est_jaccard: float = 0.0,
+    payload: str = "survivors",
 ) -> DataFrame:
     """Near-duplicate candidate pairs: (id_a, id_b, est_jaccard, exact_jaccard).
 
-    Physical plan: row-local signature projection → explode(bands) →
-    repartition by bucket (the lone shuffle) → self-join → distinct pairs.
+    ``payload`` picks the join-back strategy for the refine stage (identical
+    results either way — only the physical plan differs):
+
+    * ``"survivors"`` (default, the 100-TB path): band keys are derived
+      ROW-LOCALLY from the scan, so the ONLY corpus-wide shuffle is the
+      ids-only (id, band, key) candidate exchange. The ids that survive the
+      candidate join (typically ≪ corpus) are broadcast back as a semi-join
+      filter on the source scan, and shingles/signatures are recomputed for
+      survivors only — document payloads NEVER cross the wire corpus-wide.
+      The survivor payload goes through one tiny by-id exchange shared by
+      both pair join-backs (ReusedExchange), keeping the big refine
+      expressions out of duplicated-consumer codegen (CLAUDE.md invariant).
+    * ``"shared"`` — the high-duplicate-rate fallback: one corpus-wide
+      by-id payload exchange shared by the band derivation and both
+      join-backs. Cheaper than ``"survivors"`` only when most of the corpus
+      survives banding (recompute + extra scans would exceed one payload
+      shuffle); e.g. boilerplate-heavy crawls.
     """
     rows_per_band = num_hashes // bands
-    # ONE signature computation + ONE by-id exchange of the payload
-    # (signature + shingles), shared by every downstream consumer: the
-    # banded key derivation and BOTH pair join-backs read this same
-    # exchange (identical subplan -> Spark ReusedExchange), so the corpus
-    # is scanned once and document payloads cross the wire exactly once —
-    # never bands x payload (r1 verdict) and never 3x recomputed.
-    sig = docs.select(
-        F.col(id_col).alias("__id"),
-        word_shingles_col(F.col(text_col), k_shingle).alias("__sh"),
-    ).withColumn("__sig", minhash_signature_col(F.col("__sh"), num_hashes)) \
-        .repartition(F.col("__id"))
-    # SLIM band join: only (id, band, key) travels through the candidate
-    # self-join. Band keys are derived post-exchange from the materialized
-    # signature attribute (cheap md5 over 12 strings — no re-inlined
-    # minhash trees, keeping codegen small), then exchanged by bucket.
-    banded = sig.select(
+    base = docs.select(F.col(id_col).alias("__id"),
+                       F.col(text_col).alias("__text"))
+
+    def with_payload(df: DataFrame) -> DataFrame:
+        # stepwise projections: CollapseProject keeps multi-referenced
+        # non-cheap outputs (__sh, __sig) un-inlined, so each is computed
+        # once per row even inside one codegen stage
+        return df.withColumn(
+            "__sh", word_shingles_col(F.col("__text"), k_shingle)
+        ).withColumn(
+            "__sig", minhash_signature_col(F.col("__sh"), num_hashes)
+        )
+
+    if payload == "shared":
+        sig = with_payload(base).select("__id", "__sh", "__sig") \
+            .repartition(F.col("__id"))
+        banded_src = sig
+    else:
+        sig = None
+        banded_src = with_payload(base).select("__id", "__sig")
+    banded = banded_src.select(
         "__id",
         F.explode(band_keys_col(F.col("__sig"), bands, rows_per_band)).alias("__bk"),
     ).select("__id",
@@ -139,6 +160,19 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    if payload != "shared":
+        # survivor ids (both subtrees below read the SAME banded exchange —
+        # the shuffle write happens once, the broadcast side just re-reads it)
+        surv = (
+            pairs.select(F.col("id_a").alias("__id"))
+            .union(pairs.select(F.col("id_b").alias("__id")))
+            .distinct()
+        )
+        sig = (
+            with_payload(base.join(F.broadcast(surv), on="__id"))
+            .select("__id", "__sh", "__sig")
+            .repartition(F.col("__id"))  # tiny: survivors only
+        )
     sa = sig.select(F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"),
                     F.col("__sh").alias("sh_a"))
     sb = sig.select(F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b"),
@@ -350,6 +384,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.9,
     n_tables: int = 4,
     planes_per_table: int = 16,
+    payload: str = "survivors",
 ) -> DataFrame:
     """Cosine near-dup pairs via BANDED multi-table sign-LSH + exact verify.
 
@@ -365,20 +400,32 @@ def embedding_near_dup_pairs(
     through the candidate self-join; vectors join back by id after pair
     dedup. Recall is approximate by design (it's an LSH); the oracle runs
     the identical algorithm.
+
+    ``payload`` (see ``minhash_lsh_pairs``): ``"survivors"`` (default)
+    derives bucket keys row-locally — bucket bits are pure element
+    comparisons, so no big expression ever shuffles — and broadcast-semi-
+    joins the surviving ids back onto the source scan, recomputing vectors/
+    norms for survivors only through one tiny shared by-id exchange.
+    ``"shared"`` keeps the r2 corpus-wide by-id payload exchange for
+    high-duplicate-rate corpora.
     """
     dims = _plane_dims(n_tables * planes_per_table)
     from geoutils_spark.operators.similarity import dot_chain_col
 
-    # ONE by-id exchange of (id, vector, chain-norm), shared by the bucket
-    # derivation and both pair join-backs (identical subplan -> Spark
-    # ReusedExchange): vectors computed and shuffled exactly once, and
-    # downstream expressions read plain attributes (codegen size guard
-    # even when __e is itself a big expression).
-    v = vectors.select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__e"),
-    ).withColumn("__n", F.sqrt(dot_chain_col(F.col("__e"), F.col("__e")))) \
-        .repartition(F.col("__id"))
-    k = v
+    base = vectors.select(F.col(id_col).alias("__id"),
+                          F.col(vec_col).alias("__e"))
+
+    def with_norm(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "__n", F.sqrt(dot_chain_col(F.col("__e"), F.col("__e"))))
+
+    if payload == "shared":
+        v = with_norm(base).repartition(F.col("__id"))
+        keyed_src = v
+    else:
+        v = None
+        keyed_src = base
+    k = keyed_src
     for t in range(n_tables):
         k = k.withColumn(
             f"__b{t}",
@@ -401,9 +448,18 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # join-backs read the shared by-id exchange; per-pair work is ONE
-    # dot-chain (norms precomputed row-locally pre-exchange, bit-identical
-    # to the oracle's inline sqrt(dot(a,a))).
+    if payload != "shared":
+        surv = (
+            pairs.select(F.col("id_a").alias("__id"))
+            .union(pairs.select(F.col("id_b").alias("__id")))
+            .distinct()
+        )
+        v = with_norm(base.join(F.broadcast(surv), on="__id")) \
+            .repartition(F.col("__id"))  # tiny: survivors only
+    # join-backs read the shared by-id exchange (corpus-wide in "shared",
+    # survivors-only otherwise); per-pair work is ONE dot-chain (norms
+    # precomputed pre-exchange, bit-identical to the oracle's inline
+    # sqrt(dot(a,a))).
     va = v.select(F.col("__id").alias("id_a"), F.col("__e").alias("e_a"),
                   F.col("__n").alias("__na"))
     vb = v.select(F.col("__id").alias("id_b"), F.col("__e").alias("e_b"),

@@ -33,6 +33,29 @@ def test_minhash_finds_near_dups(corpus):
     assert 0 <= by[(0, 100)].est_jaccard <= 1
 
 
+def test_payload_modes_identical(corpus, spark):
+    """payload='survivors' (default, broadcast semi-join back onto the scan)
+    and payload='shared' (corpus-wide by-id exchange) are physical-plan
+    variants of the same operator — byte-identical results, for both the
+    minhash and the embedding flavor."""
+    a = sorted(map(tuple, DD.minhash_lsh_pairs(
+        corpus, min_est_jaccard=0.0).collect()))
+    b = sorted(map(tuple, DD.minhash_lsh_pairs(
+        corpus, min_est_jaccard=0.0, payload="shared").collect()))
+    assert a == b and len(a) > 0
+    vecs = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: F.cos((F.col("id") % 5 + 1) * (j + 1) / 7.0)
+        ).alias("e"))
+    ea = sorted(map(tuple, DD.embedding_near_dup_pairs(
+        vecs, threshold=0.9).collect()))
+    eb = sorted(map(tuple, DD.embedding_near_dup_pairs(
+        vecs, threshold=0.9, payload="shared").collect()))
+    assert ea == eb and len(ea) > 0
+
+
 def test_minhash_signature_stability(corpus):
     from geoutils_spark.functions.textanalysis import word_shingles_col
 

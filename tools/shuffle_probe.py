@@ -65,7 +65,17 @@ def payload_pairs(docs):
     return pairs.select("id_a", "id_b", "est_jaccard")
 
 
-def slim_pairs(docs):
+def shared_pairs(docs):
+    """r2 plan: ids-only band join + corpus-wide shared payload exchange."""
+    from geoutils_spark.operators.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(docs, min_est_jaccard=0.5, payload="shared") \
+        .select("id_a", "id_b", "est_jaccard")
+
+
+def survivor_pairs(docs):
+    """r3 plan (default): ids-only band join + broadcast survivor semi-join,
+    payloads recomputed for survivors only — no corpus-wide payload
+    exchange at all."""
     from geoutils_spark.operators.dedup import minhash_lsh_pairs
     return minhash_lsh_pairs(docs, min_est_jaccard=0.5).select(
         "id_a", "id_b", "est_jaccard")
@@ -100,7 +110,8 @@ def run_one(kind: str, sf_dir: str, cpus: int) -> dict:
              .appName(f"shuffle-probe-{kind}").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     docs = _mutant_corpus(spark, sf_dir)
-    df = payload_pairs(docs) if kind == "payload" else slim_pairs(docs)
+    df = {"payload": payload_pairs, "shared": shared_pairs,
+          "survivors": survivor_pairs}[kind](docs)
     t0 = time.time()
     n = df.count()
     sec = round(time.time() - t0, 2)
@@ -117,11 +128,15 @@ def main():
     ap.add_argument("--cpus", type=int, default=int(os.environ.get(
         "SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
-    results = [run_one(k, args.sf_dir, args.cpus) for k in ("payload", "slim")]
-    pay, slim = results
-    assert pay["rows"] == slim["rows"], (pay, slim)
-    ratio = pay["shuffle_bytes"] / max(slim["shuffle_bytes"], 1)
-    out = {"payload": pay, "slim": slim, "shuffle_reduction_x": round(ratio, 2)}
+    results = [run_one(k, args.sf_dir, args.cpus)
+               for k in ("payload", "shared", "survivors")]
+    pay, shared, surv = results
+    assert pay["rows"] == shared["rows"] == surv["rows"], results
+    r_shared = pay["shuffle_bytes"] / max(shared["shuffle_bytes"], 1)
+    r_surv = pay["shuffle_bytes"] / max(surv["shuffle_bytes"], 1)
+    out = {"payload": pay, "shared": shared, "survivors": surv,
+           "shuffle_reduction_shared_x": round(r_shared, 2),
+           "shuffle_reduction_survivors_x": round(r_surv, 2)}
     print(json.dumps(out))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "SHUFFLE.md"), "a") as f:
@@ -135,11 +150,15 @@ bytes written from the Spark event log:
 | plan | shuffle bytes | wall (s) |
 |---|---|---|
 | r1 payload band join (sig+shingles both sides) | {pay['shuffle_bytes']:,} | {pay['sec']} |
-| r2 slim band join (ids only, join-back by id) | {slim['shuffle_bytes']:,} | {slim['sec']} |
+| r2 shared exchange (ids-only band join, corpus-wide by-id payload) | {shared['shuffle_bytes']:,} | {shared['sec']} |
+| r3 survivors (ids-only band join, broadcast survivor semi-join) | {surv['shuffle_bytes']:,} | {surv['sec']} |
 
-**Shuffle reduction: {ratio:.1f}x.** At 10^12 docs the payload plan shuffles
-bands x (signature + shingle set) per document per side; the slim plan
-shuffles 3 small columns and touches each surviving pair once.
+**Shuffle reduction vs r1: {r_shared:.1f}x (shared), {r_surv:.1f}x
+(survivors).** At 10^12 docs the payload plan shuffles bands x (signature +
+shingle set) per document per side; the shared plan still shuffles every
+document's payload once; the survivors plan shuffles payloads only for ids
+that survive the candidate join — shuffle bytes ≈ ids-only, independent of
+document size.
 """)
     print("appended BENCH/SHUFFLE.md")
 
