@@ -118,45 +118,90 @@ def knn_join_exact(queries: DataFrame, corpus: DataFrame, k: int, level: int,
                    ring: int = 1,
                    q_id: str = "query_id", c_id: str = "neighbor_id",
                    lon: str = "lon", lat: str = "lat",
-                   include_self: bool = False) -> DataFrame:
-    """Unconditionally exact kNN: ring search first, then a brute-force
-    escalation pass for exactly the queries whose ``guaranteed`` self-check
-    failed (too few candidates in the ring, k-th hit outside the provable
-    cover disk, or a pole-clipped ring).
+                   include_self: bool = False,
+                   max_rounds: int = 4, level_step: int = 3,
+                   min_level: int = 4,
+                   max_escalation_fraction: float = 0.25) -> DataFrame:
+    """Unconditionally exact kNN with BOUNDED escalation.
 
-    Scale shape: the escalation set is the sparse-region tail — typically a
-    tiny fraction of queries — and is broadcast against the corpus, so the
-    corpus never shuffles in either pass; cost is one extra corpus scan
-    gated on a usually-small broadcast side. Results are the exact top-k for
-    every query (ring answers are kept only when provably exact).
+    Round 1 runs the ring search at (``level``, ``ring``); queries whose
+    ``guaranteed`` self-check failed (too few candidates, k-th hit outside
+    the provable cover disk, pole-clipped ring) escalate to another ring
+    pass with a COARSER level (``level - level_step`` per round, floored at
+    ``min_level``, after which ``ring`` doubles instead) — so a mis-chosen
+    fine level self-heals geometrically (cover radius grows 2^level_step
+    per round) instead of silently degenerating into a corpus cross
+    product (r2 verdict). Only the residual tail after ``max_rounds`` is
+    brute-forced, and only if it is at most ``max_escalation_fraction`` of
+    the queries; a larger tail raises loudly with the observed fraction
+    (``max_escalation_fraction=0.0`` forbids brute force outright).
+
+    Scale shape: queries are the broadcast-small side by contract, so the
+    per-round tail count/localCheckpoint are bounded driver actions and
+    the corpus never shuffles in any pass — each escalation round is one
+    extra corpus scan gated on a shrinking broadcast query set; guaranteed
+    per-query answers are localCheckpointed per round (<= n_q * k rows) so
+    no ring pass executes twice. Results are the exact top-k for every
+    query (ring answers are kept only when provably exact).
     """
-    ringed = knn_join(queries, corpus, k, level, ring=ring, q_id=q_id,
-                      c_id=c_id, lon=lon, lat=lat, include_self=include_self,
-                      guaranteed_flag=True)
-    ok = ringed.filter(F.col("guaranteed")).select(q_id, c_id, "rank", "dist_m")
-    bad_ids = ringed.filter(~F.col("guaranteed")).select(q_id).distinct()
-    # Queries with ZERO ring candidates never appear in `ringed` at all —
-    # they are non-guaranteed too.
-    bad_ids = bad_ids.unionByName(
-        queries.select(q_id).join(ringed.select(q_id).distinct(), on=q_id,
-                                  how="left_anti")
-    ).distinct()
-    bad_q = queries.join(F.broadcast(bad_ids), on=q_id).select(
-        F.col(q_id), F.col(lon).alias("__qlon"), F.col(lat).alias("__qlat"))
-    cand = F.broadcast(bad_q).crossJoin(
-        corpus.select(F.col(c_id), F.col(lon).alias("__clon"),
-                      F.col(lat).alias("__clat")))
-    if not include_self:
-        cand = cand.filter(F.col(q_id) != F.col(c_id))
-    cand = cand.withColumn(
-        "dist_m",
-        haversine_m_col(F.col("__qlon"), F.col("__qlat"),
-                        F.col("__clon"), F.col("__clat")),
-    )
-    w = Window.partitionBy(q_id).orderBy(F.col("dist_m").asc(), F.col(c_id).asc())
-    brute = (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(q_id, c_id, "rank", "dist_m")
-    )
-    return ok.unionByName(brute)
+    n_q = queries.count()  # bounded: queries are the small side by contract
+    parts: list[DataFrame] = []
+    remaining = queries
+    cur_level, cur_ring = level, ring
+    n_bad = 0
+    for _ in range(max_rounds):
+        ringed = knn_join(remaining, corpus, k, cur_level, ring=cur_ring,
+                          q_id=q_id, c_id=c_id, lon=lon, lat=lat,
+                          include_self=include_self, guaranteed_flag=True)
+        ok = ringed.filter(F.col("guaranteed")) \
+            .select(q_id, c_id, "rank", "dist_m").localCheckpoint()
+        parts.append(ok)
+        bad_ids = ringed.filter(~F.col("guaranteed")).select(q_id).distinct()
+        # queries with ZERO ring candidates never appear in `ringed` at all
+        # — they are non-guaranteed too
+        bad_ids = bad_ids.unionByName(
+            remaining.select(q_id).join(ringed.select(q_id).distinct(),
+                                        on=q_id, how="left_anti")
+        ).distinct()
+        remaining = remaining.join(F.broadcast(bad_ids), on=q_id) \
+            .localCheckpoint()  # cut the per-round lineage (small side)
+        n_bad = remaining.count()
+        if n_bad == 0:
+            break
+        if cur_level - level_step >= min_level:
+            cur_level -= level_step
+        else:
+            cur_ring *= 2
+    if n_bad > 0:
+        if n_bad > max_escalation_fraction * n_q:
+            raise RuntimeError(
+                f"knn_join_exact escalation overflow: {n_bad}/{n_q} queries "
+                f"({n_bad / max(n_q, 1):.0%}) still not provably exact after "
+                f"{max_rounds} ring rounds (level {level}->{cur_level}, ring "
+                f"{ring}->{cur_ring}); brute-forcing them against the corpus "
+                f"is capped at max_escalation_fraction="
+                f"{max_escalation_fraction}. Choose a coarser level / wider "
+                f"ring, or raise max_rounds / max_escalation_fraction.")
+        bad_q = remaining.select(
+            F.col(q_id), F.col(lon).alias("__qlon"), F.col(lat).alias("__qlat"))
+        cand = F.broadcast(bad_q).crossJoin(
+            corpus.select(F.col(c_id), F.col(lon).alias("__clon"),
+                          F.col(lat).alias("__clat")))
+        if not include_self:
+            cand = cand.filter(F.col(q_id) != F.col(c_id))
+        cand = cand.withColumn(
+            "dist_m",
+            haversine_m_col(F.col("__qlon"), F.col("__qlat"),
+                            F.col("__clon"), F.col("__clat")),
+        )
+        w = Window.partitionBy(q_id).orderBy(F.col("dist_m").asc(),
+                                             F.col(c_id).asc())
+        parts.append(
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id, c_id, "rank", "dist_m")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -245,10 +245,11 @@ def geo_knn(spark, sf_dir):
 )
 def geo_knn_exact(spark, sf_dir):
     """Escalating kNN (knn_join_exact): level 18 / ring 1 is deliberately
-    too fine for the fixture density, so most queries fail the guaranteed
-    self-check and take the brute-force escalation pass — yet the result
-    must STILL equal the oracle's exact cross-join top-k (ADVICE r1 item:
-    unconditional exactness)."""
+    too fine for the fixture density, so round 1 fails the guaranteed
+    self-check and the operator coarsens the level per round (18->15->12,
+    r2-verdict bounded escalation — no unbounded corpus cross product)
+    until the ring answer is provably exact; the result must STILL equal
+    the oracle's exact cross-join top-k (unconditional exactness)."""
     from geoutils_spark.operators.knn import knn_join_exact
 
     pts = _documents_points(spark, sf_dir)
