@@ -185,6 +185,49 @@ def polygon_grid(extents=LONDON_EXTENTS, nx: int = 6, ny: int = 3):
     return polys, nodes, ways
 
 
+def zones_df(spark: SparkSession, extents=LONDON_EXTENTS,
+             nx: int = 6, ny: int = 3, nz: int = 6) -> DataFrame:
+    """Second polygon layer for polygon⋈polygon overlay queries: ``nz``
+    diamond (45°-rotated square) zones centered on building NE corners of
+    the grid, radius 1.5·space — every diamond straddles up to four
+    buildings with genuinely oblique edge crossings (no axis-aligned or
+    collinear degeneracies against the rect grid).
+
+    Deterministic float math (same op order as ``polygon_grid``) so a SQL
+    oracle regenerates identical geometry bit-for-bit.
+    """
+    lon0, lat0, _, _ = extents
+    space = grid_space(extents, nx)
+    rows = []
+    for zi in range(nz):
+        xi = zi % (nx - 1)
+        yi = zi % ny
+        cx = lon0 + space * xi * 2 + space
+        cy = lat0 + space * yi * 2 + space
+        r = space * 1.5
+        ring = [(cx + r, cy), (cx, cy + r), (cx - r, cy), (cx, cy - r),
+                (cx + r, cy)]
+        rows.append({
+            "zone_id": zi,
+            "ring": [{"lon": x, "lat": y} for x, y in ring],
+            "bbox": {"minx": cx - r, "miny": cy - r,
+                     "maxx": cx + r, "maxy": cy + r},
+        })
+    return spark.createDataFrame(rows, T.StructType([
+        T.StructField("zone_id", T.LongType(), False),
+        T.StructField("ring", T.ArrayType(T.StructType([
+            T.StructField("lon", T.DoubleType(), False),
+            T.StructField("lat", T.DoubleType(), False),
+        ])), False),
+        T.StructField("bbox", T.StructType([
+            T.StructField("minx", T.DoubleType(), False),
+            T.StructField("miny", T.DoubleType(), False),
+            T.StructField("maxx", T.DoubleType(), False),
+            T.StructField("maxy", T.DoubleType(), False),
+        ]), False),
+    ]))
+
+
 def _building_tag_variant(way_id: int) -> dict:
     """Deterministic tag variety so the height/name priority cascades
     (reference F8/F9, osmfeature.cpp:23-86) are all exercised: height tag,
