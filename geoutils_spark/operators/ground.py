@@ -37,24 +37,65 @@ GROUND_SCHEMA = T.StructType([
 ])
 
 
+def _inside_any_ring(cx: np.ndarray, cy: np.ndarray, rings) -> np.ndarray:
+    """Vectorized even-odd PIP: True where (cx, cy) is inside ANY of the
+    (rx, ry) closed rings (one ray-cast pass per ring, all points at once)."""
+    inside = np.zeros(len(cx), dtype=bool)
+    for rx, ry in rings:
+        rx = np.asarray(rx, float)
+        ry = np.asarray(ry, float)
+        if len(rx) < 4:
+            continue
+        x1, y1 = rx[:-1][None, :], ry[:-1][None, :]
+        x2, y2 = rx[1:][None, :], ry[1:][None, :]
+        c = cy[:, None]
+        cond = (y1 > c) != (y2 > c)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xc = x1 + (c - y1) * (x2 - x1) / (y2 - y1)
+        hits = (cond & (cx[:, None] < xc)).sum(axis=1)
+        inside |= (hits % 2).astype(bool)
+    return inside
+
+
 def ground_mesh(points: DataFrame, group: str = "group_id",
                 lon: str = "lon", lat: str = "lat",
-                pad: float = 0.0) -> DataFrame:
+                pad: float = 0.0,
+                footprints: "DataFrame | None" = None,
+                fp_rx: str = "rx", fp_ry: str = "ry") -> DataFrame:
     """(group, lon, lat) points -> one flat triangulated ground mesh row
     per group. ``pad`` adds the padded-bbox corner points (the reference's
     ``extra`` margin box, ground.cpp:107-113). UVs are bbox fractions
-    (ground.cpp:147 ``mBBox.fraction``)."""
+    (ground.cpp:147 ``mBBox.fraction``).
 
-    def tri(pdf: pd.DataFrame) -> pd.DataFrame:
-        gid = int(pdf[group].iloc[0])
-        px = pdf[lon].to_numpy(float)
-        py = pdf[lat].to_numpy(float)
+    ``footprints`` (optional): (group, rx, ry) CLOSED rings per row. Their
+    vertices join the triangulation (so triangle edges align with footprint
+    boundaries) and every triangle whose centroid falls inside any
+    footprint ring is REMOVED — the hole-aware ground the reference's
+    Ground class intends (its ``findGroundTris`` footprint filter,
+    ground.cpp:128-143, is unfinished dead code; the donut-ground test
+    test.cpp:26-76 only feeds footprint points in). Spark shape: a
+    ``cogroup``-``applyInPandas`` so points and footprints of a group meet
+    in one task without a driver collect.
+    """
+
+    def kernel(gid: int, px: np.ndarray, py: np.ndarray,
+               rings) -> pd.DataFrame:
+        if len(px) == 0 and not rings:
+            return pd.DataFrame({c.name: pd.Series([], dtype=object)
+                                 for c in GROUND_SCHEMA})
+        for rx, ry in rings:
+            px = np.concatenate([px, np.asarray(rx, float)[:-1]])
+            py = np.concatenate([py, np.asarray(ry, float)[:-1]])
         if pad > 0.0:
             bx = [px.min() - pad, px.min() - pad, px.max() + pad, px.max() + pad]
             by = [py.min() - pad, py.max() + pad, py.max() + pad, py.min() - pad]
             px = np.concatenate([px, bx])
             py = np.concatenate([py, by])
         tris = delaunay_np(px, py)
+        if len(tris) > 0 and rings:
+            cx = px[tris].mean(axis=1)
+            cy = py[tris].mean(axis=1)
+            tris = tris[~_inside_any_ring(cx, cy, rings)]
         if len(tris) == 0:
             return pd.DataFrame({c.name: pd.Series([], dtype=object)
                                  for c in GROUND_SCHEMA})
@@ -79,4 +120,23 @@ def ground_mesh(points: DataFrame, group: str = "group_id",
             "faces": pd.Series([[f.tolist() for f in faces]], dtype=object),
         })
 
-    return points.groupBy(group).applyInPandas(tri, GROUND_SCHEMA)
+    if footprints is None:
+        def tri(pdf: pd.DataFrame) -> pd.DataFrame:
+            return kernel(int(pdf[group].iloc[0]),
+                          pdf[lon].to_numpy(float), pdf[lat].to_numpy(float),
+                          [])
+
+        return points.groupBy(group).applyInPandas(tri, GROUND_SCHEMA)
+
+    def tri2(key, pts_pdf: pd.DataFrame, fp_pdf: pd.DataFrame) -> pd.DataFrame:
+        rings = [(rx, ry) for rx, ry in zip(fp_pdf[fp_rx], fp_pdf[fp_ry])]
+        if len(pts_pdf) == 0 and not rings:
+            return pd.DataFrame({c.name: pd.Series([], dtype=object)
+                                 for c in GROUND_SCHEMA})
+        return kernel(int(key[0]),
+                      pts_pdf[lon].to_numpy(float) if len(pts_pdf) else np.empty(0),
+                      pts_pdf[lat].to_numpy(float) if len(pts_pdf) else np.empty(0),
+                      rings)
+
+    return points.groupBy(group).cogroup(
+        footprints.groupBy(group)).applyInPandas(tri2, GROUND_SCHEMA)

@@ -954,6 +954,42 @@ def osm_ring_assembly(spark, sf_dir):
     )
 
 
+@register(
+    "geom_scene_stats",
+    f"""
+    SELECT 'building' AS kind,
+           CAST({_NX * _NY} AS BIGINT) AS n_meshes,
+           CAST({_NX * _NY} * 8 AS BIGINT) AS n_vertices,
+           CAST({_NX * _NY} * 12 AS BIGINT) AS n_faces
+    UNION ALL
+    SELECT 'highway' AS kind,
+           CAST(2 * {_NY} AS BIGINT) AS n_meshes,
+           CAST({_NY} * 2 * {_NX} + {_NY} * 2 * {_NY} AS BIGINT) AS n_vertices,
+           CAST({_NY} * ({_NX} - 1) + {_NY} * ({_NY} - 1) AS BIGINT) AS n_faces
+    """,
+)
+def geom_scene_stats(spark, sf_dir):
+    """Full osm2assimp scene composition (G1 extrusion + G2 ribbon meshes +
+    G7 ground in ONE plan, operators/scene.py): per-kind mesh/vertex/face
+    counts over the fixture grid. The oracle re-derives the counts from the
+    construction rules: each building prism is 2k vertices / 4k-4 faces
+    (k=4), each highway ribbon 2n vertices / n-1 quad faces (ny east-west
+    ways of nx nodes + ny north-south ways of ny nodes). The ground mesh is
+    excluded here (Delaunay triangle counts aren't SQL-replayable) and is
+    instead pytest-asserted against the reference's own scene golden
+    numBuildings+numHighways+1 (tests/test_scene.py; reference
+    test.py:85-100)."""
+    from geoutils_spark.operators.scene import scene_meshes
+
+    nodes, ways = fixtures.nodes_ways_df(spark, nx=_NX, ny=_NY)
+    m = scene_meshes(nodes, ways)
+    return m.filter(F.col("kind") != "ground").groupBy("kind").agg(
+        F.count("*").alias("n_meshes"),
+        F.sum("n_vertices").alias("n_vertices"),
+        F.sum("n_faces").alias("n_faces"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data ops block — language-ID, quality, fingerprints, near-dup
 # dedup (MinHash+LSH, SimHash), embedding near-dup + IVF ANN.
