@@ -156,6 +156,121 @@ def read_osm(spark: SparkSession, paths: list[str] | str
 read_osm_xml = read_osm
 
 
+_XML_BOUNDARY = None  # compiled lazily (re import kept out of the hot path)
+
+
+def _find_xml_boundary(f, pos: int, chunk: int = 1 << 16) -> int | None:
+    """Absolute byte offset of the first top-level ``<node``/``<way``
+    element start at or after ``pos``; None past EOF. Scans forward in
+    chunks with a small overlap so a tag straddling a chunk edge is still
+    found. (``<nd`` never matches: the pattern requires a delimiter after
+    the tag name.)"""
+    global _XML_BOUNDARY
+    if _XML_BOUNDARY is None:
+        import re
+        _XML_BOUNDARY = re.compile(rb"<(?:node|way)[ \t\r\n/>]")
+    f.seek(max(pos, 0))
+    tail = b""
+    base = max(pos, 0)
+    while True:
+        data = f.read(chunk)
+        if not data:
+            return None
+        buf = tail + data
+        m = _XML_BOUNDARY.search(buf)
+        if m:
+            return base - len(tail) + m.start()
+        tail = buf[-8:]
+        base += len(data)
+
+
+def iter_osm_xml_span(path: str, start: int, end: int) -> Iterator[dict]:
+    """Entities whose element START offset lies in [start, end) — the
+    Hadoop text-split convention, so contiguous spans partition one huge
+    plain ``.osm`` file with no element parsed twice or skipped. Only for
+    uncompressed XML (gz/bz2 are not splittable)."""
+    import io
+    import os as _os
+    import xml.etree.ElementTree as ET
+
+    size = _os.path.getsize(path)
+    with open(path, "rb") as f:
+        s_off = _find_xml_boundary(f, start)
+        if s_off is None or s_off >= end:
+            return
+        e_off = _find_xml_boundary(f, end) if end < size else None
+        f.seek(s_off)
+        chunk = f.read((e_off if e_off is not None else size) - s_off)
+    if e_off is None:
+        # the tail span carries the closing </osm>; drop it
+        cut = chunk.rfind(b"</osm>")
+        if cut >= 0:
+            chunk = chunk[:cut]
+    # the chunk is whole sibling elements — wrap in a synthetic root and
+    # reuse the streaming element parser
+    src = io.BytesIO(b"<osm>" + chunk + b"</osm>")
+    for event, elem in ET.iterparse(src, events=("end",)):
+        if elem.tag == "node":
+            yield {
+                "kind": "node",
+                "id": int(elem.get("id")),
+                "lon": float(elem.get("lon")),
+                "lat": float(elem.get("lat")),
+                "refs": None,
+                "tags": {t.get("k"): t.get("v") for t in elem.findall("tag")} or None,
+            }
+            elem.clear()
+        elif elem.tag == "way":
+            yield {
+                "kind": "way",
+                "id": int(elem.get("id")),
+                "lon": None,
+                "lat": None,
+                "refs": [int(nd.get("ref")) for nd in elem.findall("nd")],
+                "tags": {t.get("k"): t.get("v") for t in elem.findall("tag")},
+            }
+            elem.clear()
+
+
+def read_osm_xml_split(spark: SparkSession, path: str,
+                       tasks: int = 0) -> DataFrame:
+    """Entity table from ONE huge plain ``.osm`` XML with BYTE-RANGE
+    parallelism — the XML counterpart of ``read_osm_pbf_split`` (r2 verdict
+    task 7). The file is cut into even byte spans driver-side (no scan);
+    each task aligns its span to the next top-level element boundary and
+    parses independently. Compressed XML is rejected (not splittable —
+    use the per-file reader)."""
+    import os as _os
+
+    import pandas as pd
+
+    if path.endswith((".gz", ".bz2", ".pbf")):
+        raise ValueError(f"read_osm_xml_split needs uncompressed .osm XML, got {path}")
+    size = _os.path.getsize(path)
+    if tasks <= 0:
+        tasks = max(1, spark.sparkContext.defaultParallelism)
+    tasks = max(1, min(tasks, size))
+    step = size // tasks
+    bounds = [i * step for i in range(tasks)] + [size]
+    pdf = spark.createDataFrame(
+        pd.DataFrame({"start": bounds[:-1], "end": bounds[1:]}))
+    pdf = pdf.repartition(tasks)
+
+    def parse(batches):
+        for b in batches:
+            for start, end in zip(b["start"], b["end"]):
+                buf: list[dict] = []
+                for ent in iter_osm_xml_span(path, int(start), int(end)):
+                    buf.append(ent)
+                    if len(buf) >= _BATCH:
+                        yield pd.DataFrame(buf)
+                        buf = []
+                if buf:
+                    yield pd.DataFrame(buf)
+
+    return pdf.mapInPandas(parse, ENTITY_SCHEMA)
+
+
 def read_osm_pbf_split(spark: SparkSession, path: str,
                        tasks: int = 0) -> DataFrame:
     """Entity table from ONE .osm.pbf with BLOCK-LEVEL parallelism: blob

@@ -20,11 +20,14 @@ within a batch — run the stream id-ordered to reproduce the batch twin
 row-for-row (test_streaming_dedup).
 
 Scale shape: the store grows as the corpus, but the per-batch join touches
-only colliding band buckets (equi-join, broadcast-able batch side); at
-cluster scale the keys table would be bucketed by (band, key) so the join
-is co-located — same plan as the batch LSH join. foreachBatch is
-checkpointable, and a batch-id marker table (written last) makes the
-per-batch appends idempotent under foreachBatch's at-least-once replay.
+only colliding band buckets (equi-join, broadcast-able batch side); pass
+``keys_table`` to keep the keys store as a TABLE bucketed by (band, key)
+— the candidate join is then co-located on the store side (its scan has
+ZERO Exchange; only the small batch side shuffles — plan-asserted in
+test_streaming.py), the same write-once-shuffle-never-again lever as
+``tables.write_bucketed_by_cell``. foreachBatch is checkpointable, and a
+batch-id marker table (written last) makes the per-batch appends
+idempotent under foreachBatch's at-least-once replay.
 """
 
 from __future__ import annotations
@@ -46,7 +49,8 @@ class IncrementalDeduper:
     def __init__(self, store_dir: str,
                  id_col: str = "doc_id", text_col: str = "text",
                  k_shingle: int = 3, num_hashes: int = 12, bands: int = 4,
-                 min_est_jaccard: float = 0.5, min_jaccard: float = 0.7):
+                 min_est_jaccard: float = 0.5, min_jaccard: float = 0.7,
+                 keys_table: str | None = None, n_buckets: int = 16):
         self.store_dir = store_dir
         self.id_col, self.text_col = id_col, text_col
         self.k_shingle, self.num_hashes, self.bands = k_shingle, num_hashes, bands
@@ -55,6 +59,10 @@ class IncrementalDeduper:
         self._docs = os.path.join(store_dir, "docs")
         self._keys = os.path.join(store_dir, "keys")
         self._marks = os.path.join(store_dir, "batches")
+        # keys store as a (band, key)-bucketed table: the per-batch
+        # candidate join reads the store WITHOUT an Exchange
+        self.keys_table = keys_table
+        self.n_buckets = n_buckets
 
     # -- store access -------------------------------------------------------
 
@@ -88,8 +96,7 @@ class IncrementalDeduper:
             F.col("sig"), self.bands, self.num_hashes // self.bands)).alias("__bk")
         ).select("doc_id", F.col("__bk.band").alias("band"),
                  F.col("__bk.key").alias("key"))
-        seen_keys = self._read(spark, self._keys,
-                               "doc_id long, band int, key string")
+        seen_keys = self._read_keys(spark)
         seen_docs = self._read(
             spark, self._docs,
             "doc_id long, sig array<string>, sh array<string>")
@@ -130,9 +137,25 @@ class IncrementalDeduper:
         # ALL processed docs (kept + dropped) enter the store: a dropped doc
         # still suppresses its own later near-dups (batch drop-list parity).
         b.select("doc_id", "sig", "sh").write.mode("append").parquet(self._docs)
-        bk.write.mode("append").parquet(self._keys)
+        self._append_keys(bk)
         spark.createDataFrame([(int(batch_id),)], "batch_id long") \
             .write.mode("append").parquet(self._marks)
+
+    def _read_keys(self, spark: SparkSession) -> DataFrame:
+        if self.keys_table is None:
+            return self._read(spark, self._keys,
+                              "doc_id long, band int, key string")
+        if spark.catalog.tableExists(self.keys_table):
+            return spark.table(self.keys_table)
+        return spark.createDataFrame([], "doc_id long, band int, key string")
+
+    def _append_keys(self, bk: DataFrame) -> None:
+        if self.keys_table is None:
+            bk.write.mode("append").parquet(self._keys)
+            return
+        (bk.write.mode("append").format("parquet")
+           .bucketBy(self.n_buckets, "band", "key").sortBy("band", "key")
+           .saveAsTable(self.keys_table))
 
     # -- stream wiring ------------------------------------------------------
 

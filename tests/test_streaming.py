@@ -217,3 +217,54 @@ def test_streaming_dedup_replay_idempotent(spark, tmp_path_factory):
     assert len(kept) == 2
     keys = spark.read.parquet(store + "/keys")
     assert keys.count() == 2 * 4  # 2 docs x 4 bands, once
+
+
+def test_streaming_dedup_bucketed_keys_store(spark, tmp_path_factory):
+    """keys_table=: the keys store is a (band, key)-bucketed table — same
+    kept set as the plain parquet store, and the per-batch candidate join
+    reads the store WITHOUT an Exchange (only the small batch side
+    shuffles) even when broadcast is disabled."""
+    from pyspark.sql import functions as F
+
+    from geoutils_spark.streaming.dedup import IncrementalDeduper
+
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")],
+        "doc_id long, text string")
+    b1 = spark.createDataFrame(
+        [(3, "alpha beta gamma delta epsilon zeta"),
+         (4, "totally different words entirely here now")],
+        "doc_id long, text string")
+    plain_store = str(tmp_path_factory.mktemp("bk_plain"))
+    buck_store = str(tmp_path_factory.mktemp("bk_buck"))
+    plain = IncrementalDeduper(plain_store)
+    buck = IncrementalDeduper(buck_store, keys_table="t_dedup_keys",
+                              n_buckets=4)
+    try:
+        for d in (plain, buck):
+            d.process_batch(b0, 0)
+            d.process_batch(b1, 1)
+        kp = {r.doc_id for r in spark.read.parquet(plain_store + "/kept").collect()}
+        kb = {r.doc_id for r in spark.read.parquet(buck_store + "/kept").collect()}
+        assert kb == kp == {1, 2, 4}
+        # appended twice (two batches), still one bucketed table
+        assert spark.table("t_dedup_keys").count() == 4 * 4
+        # plan probe: batch-keys ⋈ bucketed store with broadcast disabled —
+        # exactly ONE Exchange (the batch side); the store scan is
+        # bucket-co-located
+        bk = spark.createDataFrame(
+            [(9, 0, "k0"), (9, 1, "k1")], "doc_id long, band int, key string")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bk.join(
+                spark.table("t_dedup_keys").withColumnRenamed(
+                    "doc_id", "prior_id"), on=["band", "key"])
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("Exchange hashpartitioning") == 1, plan
+            joined.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_dedup_keys")
