@@ -53,6 +53,9 @@ EXTRA = [
     "osm_s2_split",
     "geom_ground_mesh",
     "mm_image_meta",
+    # r3 additions
+    "geo_poly_boolean",
+    "geom_scene_stats",
 ]
 
 

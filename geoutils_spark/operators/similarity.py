@@ -98,41 +98,57 @@ def _centroid_norm(cvec: list[float], dim: int) -> float:
     return math.sqrt(acc)
 
 
+def _centroid_sims_col(vec: Column, centroids: list[tuple[int, list[float]]],
+                       vnorm: Column, dim: int) -> Column:
+    """array<struct<negsim, cid>> of -cosine(vec, centroid) per centroid.
+
+    Expressed as ONE higher-order ``transform`` over an array-of-struct
+    centroid literal with an ``aggregate`` fold for the dot product —
+    compact generated code regardless of K x dim (an unrolled chain per
+    centroid put K*dim multiply-adds into a single janino method and blew
+    the 64KB whole-stage limit -> silent interpreted fallback). The
+    left-fold ``(((0+t1)+t2)+...)`` adds terms in exactly the chain-sum
+    order, so the value is bit-identical to the oracle's chain SQL
+    (IEEE addition with a 0.0 seed is exact)."""
+    centarr = F.array(*[
+        F.struct(
+            F.lit(int(cid)).alias("cid"),
+            F.lit(float(_centroid_norm(cvec, dim))).alias("cn"),
+            F.array(*[F.lit(float(x)) for x in cvec]).alias("c"),
+        )
+        for cid, cvec in centroids
+    ])
+
+    def body(e: Column) -> Column:
+        dot = F.aggregate(F.zip_with(vec, e["c"], lambda a, b: a * b),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        sim = dot / (vnorm * e["cn"])
+        return F.struct((-sim).alias("negsim"), e["cid"].alias("cid"))
+
+    return F.transform(centarr, body)
+
+
 def assign_centroid_col(vec: Column, centroids: list[tuple[int, list[float]]],
                         dim: int = EMB_DIM,
                         vnorm: Column | None = None) -> Column:
     """Row-local argmax of cosine(vec, centroid) over a broadcast centroid
-    list; ties broken by centroid id (asc). Expressed as array_min over
-    (negsim, cid) structs — linear expression size (a when-chain would double
-    the Catalyst tree per centroid). Pass a materialized ``vnorm`` column so
-    the per-centroid cost is one dot product (cosine factored as
-    dot / (|v| * |c|) with |c| a driver-side constant — identical IEEE value
-    to the full chain, 3x less codegen)."""
+    list; ties broken by centroid id (asc) — array_min over (negsim, cid)
+    structs. Pass a materialized ``vnorm`` so the per-centroid cost is one
+    dot product (cosine factored as dot / (|v| * |c|) with |c| a driver
+    constant — identical IEEE value to the full chain)."""
     if vnorm is None:
         vnorm = norm_chain_col(vec, dim)
-    entries = []
-    for cid, cvec in centroids:
-        carr = F.array(*[F.lit(float(x)) for x in cvec])
-        cn = _centroid_norm(cvec, dim)
-        sim = dot_chain_col(vec, carr, dim) / (vnorm * F.lit(cn))
-        entries.append(F.struct((-sim).alias("negsim"), F.lit(cid).alias("cid")))
-    return F.array_min(F.array(*entries))["cid"]
+    return F.array_min(_centroid_sims_col(vec, centroids, vnorm, dim))["cid"]
 
 
 def top_centroids_col(vec: Column, centroids: list[tuple[int, list[float]]],
                       nprobe: int, dim: int = EMB_DIM,
                       vnorm: Column | None = None) -> Column:
     """Array of the ``nprobe`` nearest centroid ids (sim desc, id asc) —
-    expressed as sort of a small literal-size array, row-local."""
+    sort of a small row-local array."""
     if vnorm is None:
         vnorm = norm_chain_col(vec, dim)
-    entries = []
-    for cid, cvec in centroids:
-        carr = F.array(*[F.lit(float(x)) for x in cvec])
-        cn = _centroid_norm(cvec, dim)
-        sim = dot_chain_col(vec, carr, dim) / (vnorm * F.lit(cn))
-        entries.append(F.struct((-sim).alias("negsim"), F.lit(cid).alias("cid")))
-    arr = F.array_sort(F.array(*entries))  # struct sort: negsim asc, cid asc
+    arr = F.array_sort(_centroid_sims_col(vec, centroids, vnorm, dim))
     return F.transform(F.slice(arr, 1, nprobe), lambda s: s["cid"])
 
 
@@ -145,6 +161,12 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame,
     v = vectors.withColumn("__vn", norm_chain_col(F.col(vec)))
     v = v.withColumn("__bucket",
                      assign_centroid_col(F.col(vec), centroids, vnorm=F.col("__vn")))
+    # materialize (bucket, norm) through a by-bucket exchange: downstream
+    # stages read attributes instead of re-inlining the K x dim centroid
+    # argmax into the join/sort codegen (64KB janino blowup -> silent
+    # interpreted fallback, CLAUDE.md invariant) — and bucket-partitioned
+    # vectors ARE the IVF storage shape (one bucket shuffle, SCALE.md)
+    v = v.repartition(F.col("__bucket"))
     q = queries.withColumn("__qn", norm_chain_col(F.col(qvec)))
     q = q.withColumn(
         "__bucket",
@@ -157,6 +179,10 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame,
         .withColumn("sim", dot_chain_col(F.col(qvec), F.col(vec))
                     / (F.col("__qn") * F.col("__vn")))
     )
+    # explicit q_id exchange BEFORE the window: sim is materialized on the
+    # map side, so the top-k sort key is an attribute (small sort codegen);
+    # the window reuses this partitioning instead of adding its own
+    cand = cand.select(q_id, v_id, "sim").repartition(F.col(q_id))
     w = Window.partitionBy(q_id).orderBy(F.col("sim").desc(), F.col(v_id).asc())
     return (
         cand.withColumn("rank", F.row_number().over(w))
