@@ -161,8 +161,10 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     if payload != "shared":
-        # survivor ids (both subtrees below read the SAME banded exchange —
-        # the shuffle write happens once, the broadcast side just re-reads it)
+        # materialize the (pair-list-sized, payload-free) candidate pairs
+        # ONCE: both the survivor-id broadcast and the output join read the
+        # checkpointed rows, so the band self-join never executes twice
+        pairs = pairs.localCheckpoint()
         surv = (
             pairs.select(F.col("id_a").alias("__id"))
             .union(pairs.select(F.col("id_b").alias("__id")))
@@ -449,6 +451,8 @@ def embedding_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     if payload != "shared":
+        # same single-execution guard as minhash_lsh_pairs
+        pairs = pairs.localCheckpoint()
         surv = (
             pairs.select(F.col("id_a").alias("__id"))
             .union(pairs.select(F.col("id_b").alias("__id")))
