@@ -265,6 +265,66 @@ def write_leaf_split_pbf(nodes: DataFrame, ways: DataFrame, out_dir: str,
     return sorted(f for f in os.listdir(out_dir) if f.endswith(".osm.pbf"))
 
 
+def write_svg_polygons(df: DataFrame, out_dir: str, ring: str = "ring",
+                       group_col: str | None = None,
+                       scale: float = 10.0) -> None:
+    """G11 SVG debug render — the reference's ``writeSvg``
+    (/root/reference/osm2assimp/utils.cpp:230-258, ground.cpp:104-116):
+    one ``.svg`` per group with a ``<polygon points=...>`` per ring,
+    coordinates shifted by the group bbox min (padded by 1 unit) and
+    multiplied by ``scale``, stroke white / fill none, no y-flip (the
+    reference doesn't flip either). ``ring`` is array<struct<lon,lat>>.
+
+    Same one-task-per-file grouped shape as the OBJ sink; the group bbox
+    rides along as window aggregates so the writer is a single pass."""
+    import os
+
+    from pyspark.sql import Window
+
+    if group_col is None:
+        group_col = "__grp"
+        df = df.withColumn(group_col, F.lit("debug"))
+    xs = F.transform(F.col(ring), lambda p: p["lon"])
+    ys = F.transform(F.col(ring), lambda p: p["lat"])
+    df = df.withColumn("__rminx", F.array_min(xs)) \
+           .withColumn("__rminy", F.array_min(ys)) \
+           .withColumn("__rmaxx", F.array_max(xs)) \
+           .withColumn("__rmaxy", F.array_max(ys))
+    w = Window.partitionBy(group_col)
+    df = (df.withColumn("__minx", F.min("__rminx").over(w) - 1.0)
+            .withColumn("__miny", F.min("__rminy").over(w) - 1.0)
+            .withColumn("__maxx", F.max("__rmaxx").over(w) + 1.0)
+            .withColumn("__maxy", F.max("__rmaxy").over(w) + 1.0))
+    df = df.repartition(F.col(group_col))
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(rows):
+        handles = {}
+        try:
+            for r in rows:
+                g = r[group_col]
+                if g not in handles:
+                    vw = (r["__maxx"] - r["__minx"]) * scale
+                    vh = (r["__maxy"] - r["__miny"]) * scale
+                    f = open(os.path.join(out_dir, f"{g}.svg"), "w")
+                    f.write(f'<svg viewBox="0 0 {vw} {vh}" '
+                            f'xmlns="http://www.w3.org/2000/svg">\n')
+                    handles[g] = f
+                f = handles[g]
+                pts = " ".join(
+                    f"{(p['lon'] - r['__minx']) * scale},"
+                    f"{(p['lat'] - r['__miny']) * scale}"
+                    for p in r[ring])
+                f.write(f'<polygon points="{pts}" fill="none" '
+                        f'stroke="white" />\n')
+        finally:
+            for f in handles.values():
+                f.write("</svg>\n")
+                f.close()
+
+    df.foreachPartition(write_partition)
+
+
 def write_gltf_meshes(meshes: DataFrame, out_dir: str,
                       group_col: str | None = None) -> None:
     """S8 sink, glTF 2.0 flavor: one ``.gltf`` per group — the modern

@@ -25,6 +25,9 @@ def main() -> None:
     ap.add_argument("--width", type=float, default=0.00008,
                     help="highway ribbon width (degrees)")
     ap.add_argument("--no-ground-holes", action="store_true")
+    ap.add_argument("--consolidate", type=int, choices=(0, 1, 2), default=2,
+                    help="mesh granularity (reference -c): 0 single mesh, "
+                         "1 per kind, 2 per object")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -41,6 +44,12 @@ def main() -> None:
                           ground_holes=not args.no_ground_holes).cache()
     counts = {r.kind: r.n for r in meshes.groupBy("kind")
               .agg(F.count("*").alias("n")).collect()}
+    if args.consolidate < 2:
+        from geoutils_spark.operators.scene import consolidate_meshes
+
+        merged = consolidate_meshes(
+            meshes, by="kind" if args.consolidate == 1 else None)
+        meshes = merged.withColumn("kind", F.col("way_id"))
     if args.format == "obj":
         sinks.write_obj_meshes(meshes, args.out)
     else:

@@ -107,6 +107,56 @@ def test_full_scene_mesh_count_parity(spark, osm_file):
     meshes.unpersist()
 
 
+def test_consolidate_granularities(spark, osm_file):
+    """The reference's -c MeshGranularity (main.cpp:83-87): per-kind (1)
+    gives one mesh per material/type, single-mesh (0) gives exactly one;
+    vertex/face totals are preserved and rebased indices stay in range."""
+    from geoutils_spark.operators.scene import consolidate_meshes, scene_meshes
+
+    nodes, ways = osm.read_osm(spark, osm_file)
+    meshes = scene_meshes(nodes, ways).cache()
+    tot = meshes.agg(F.sum("n_vertices").alias("v"),
+                     F.sum("n_faces").alias("f")).collect()[0]
+
+    per_kind = consolidate_meshes(meshes, by="kind").collect()
+    assert sorted(r.way_id for r in per_kind) == ["building", "ground", "highway"]
+    assert sum(r.n_vertices for r in per_kind) == tot.v
+    assert sum(r.n_faces for r in per_kind) == tot.f
+    for r in per_kind:
+        assert len(r.vx) == r.n_vertices
+        assert max(i for face in r.faces for i in face) == r.n_vertices - 1
+        assert min(i for face in r.faces for i in face) == 0
+
+    mega = consolidate_meshes(meshes).collect()
+    assert len(mega) == 1 and mega[0].way_id == "scene"
+    assert mega[0].n_vertices == tot.v and len(mega[0].vx) == tot.v
+    assert max(i for face in mega[0].faces for i in face) == tot.v - 1
+    meshes.unpersist()
+
+
+def test_svg_debug_sink(spark, tmp_path):
+    """G11 SVG render parity shape (utils.cpp:230-258): viewBox from the
+    padded bbox, one <polygon> per ring, coordinates shifted+scaled."""
+    from geoutils_spark.sources import fixtures
+    from geoutils_spark.sources.sinks import write_svg_polygons
+
+    polys = fixtures.polygons_df(spark).filter(F.col("kind") == "building")
+    out = str(tmp_path / "svg")
+    write_svg_polygons(polys.select("way_id", "ring"), out, scale=1000.0)
+    import glob
+    import re
+    files = glob.glob(out + "/*.svg")
+    assert len(files) == 1
+    text = open(files[0]).read()
+    assert text.startswith('<svg viewBox="0 0 ')
+    assert text.rstrip().endswith("</svg>")
+    assert text.count("<polygon points=") == 18
+    for m in re.finditer(r'points="([^"]+)"', text):
+        coords = [float(v) for pair in m.group(1).split()
+                  for v in pair.split(",")]
+        assert all(c >= 0 for c in coords)  # shifted into the viewBox
+
+
 def test_scene_obj_export(spark, osm_file, tmp_path):
     """S8 composition: the full scene exports through the OBJ sink —
     building prisms (tri faces), highway ribbons (quad faces), ground."""
