@@ -954,6 +954,77 @@ def osm_ring_assembly(spark, sf_dir):
     )
 
 
+_RIBBON_W = 0.00008
+
+
+def _ribbon_sql() -> str:
+    """Oracle twin of ribbon_polylines over the fixture highways. Their
+    polylines are axis-aligned (east-west rows / north-south columns of
+    road nodes), so segment lengths are exact (|dx| or |dy|), unit normals
+    are exactly (0,±1)/(±1,0), and every ribbon vertex — including the
+    collinear-fallback interior joints — is coordinate ± width/2 with
+    bit-identical floats in both engines."""
+    lon0, lat0, _, _ = LONDON_EXTENTS
+    space = fixtures.grid_space(LONDON_EXTENTS, _NX)
+    x = (f"{_dbl(lon0)} + ({_dbl(space)} * xi) * 2 + {_dbl(space)} "
+         f"+ {_dbl(space)} * 0.5")
+    y = (f"{_dbl(lat0)} + ({_dbl(space)} * yi) * 2 + {_dbl(space)} "
+         f"+ {_dbl(space)} * 0.5")
+    hw = f"{_dbl(_RIBBON_W)} / 2.0"
+    return f"""
+    WITH ew AS (
+      SELECT CAST({_NX * _NY} + 2 * yi AS BIGINT) AS way_id,
+             CAST(2 * {_NX} AS BIGINT) AS n_vertices,
+             CAST({_NX} - 1 AS BIGINT) AS n_faces,
+             flatten(list_transform(range(0, {_NX}),
+                                    xi -> [{x}, {x}])) AS vx,
+             flatten(list_transform(range(0, {_NX}),
+                                    xi -> [{y} + {hw}, {y} - {hw}])) AS vy
+      FROM range({_NY}) t(yi)
+    ),
+    ns AS (
+      SELECT CAST({_NX * _NY} + 2 * xi + 1 AS BIGINT) AS way_id,
+             CAST(2 * {_NY} AS BIGINT) AS n_vertices,
+             CAST({_NY} - 1 AS BIGINT) AS n_faces,
+             flatten(list_transform(range(0, {_NY}),
+                                    yi -> [{x} - {hw}, {x} + {hw}])) AS vx,
+             flatten(list_transform(range(0, {_NY}),
+                                    yi -> [{y}, {y}])) AS vy
+      FROM range({_NY}) t(xi)
+    ),
+    ways AS (SELECT * FROM ew UNION ALL SELECT * FROM ns),
+    e0 AS (
+      SELECT way_id, n_faces, vx, vy,
+             UNNEST(range(1, len(vx) + 1)) AS i
+      FROM ways
+    )
+    SELECT way_id, CAST(i - 1 AS BIGINT) AS vidx,
+           vx[i] AS x, vy[i] AS y, n_faces
+    FROM e0
+    """
+
+
+@register("geo_ribbon_vertices", _ribbon_sql())
+def geo_ribbon_vertices(spark, sf_dir):
+    """G2 ribbon-mesh CONSTRUCTION through the driver contract: exact
+    per-vertex coordinates (interleaved left/right offsets, miter fallback
+    on collinear joints) of every fixture highway ribbon, exploded to one
+    row per vertex (the driver compare handles scalars, not float arrays)
+    and hash-compared against the oracle replaying the offset arithmetic
+    (/root/reference/osm2assimp/geometry.cpp:137-230 semantics)."""
+    from geoutils_spark.operators.ribbon import ribbon_polylines
+
+    hw = fixtures.polygons_df(spark).filter(F.col("kind") == "highway")
+    m = ribbon_polylines(hw.select("way_id", F.col("ring").alias("line")),
+                         width=_RIBBON_W)
+    return m.select(
+        "way_id", "n_faces",
+        F.posexplode(F.arrays_zip("vx", "vy")).alias("vidx", "__v"),
+    ).select(
+        "way_id", F.col("vidx").cast("long").alias("vidx"),
+        F.col("__v.vx").alias("x"), F.col("__v.vy").alias("y"), "n_faces")
+
+
 @register(
     "geom_scene_stats",
     f"""
@@ -1476,6 +1547,7 @@ def _zones_sql(nz: int = 6) -> str:
 
 
 def _poly_boolean_sql() -> str:
+    from geoutils_spark.operators.clip import shoelace_fp_sql
     from geoutils_spark.operators.overlay import overlay_intersection_fp_sql
 
     return f"""
@@ -1495,7 +1567,13 @@ def _poly_boolean_sql() -> str:
         AND b.miny <= z.cy + z.r AND b.maxy >= z.cy - z.r
     ),
     res AS ({overlay_intersection_fp_sql('pairs', ['way_id', 'zone_id'])})
-    SELECT way_id, zone_id, inter_fp FROM res WHERE inter_fp <> 0
+    SELECT r.way_id, r.zone_id, r.inter_fp,
+           {shoelace_fp_sql('p.ring_a')} + {shoelace_fp_sql('p.ring_b')}
+             - r.inter_fp AS union_fp,
+           {shoelace_fp_sql('p.ring_a')} - r.inter_fp AS diff_fp
+    FROM res r
+    JOIN pairs p ON r.way_id = p.way_id AND r.zone_id = p.zone_id
+    WHERE r.inter_fp <> 0
     """
 
 
@@ -1515,14 +1593,25 @@ def geo_poly_boolean(spark, sf_dir):
                                                   polygon_pair_candidates,
                                                   xy_ring_col)
 
+    from geoutils_spark.operators.clip import shoelace_fp_col
+
     bld = fixtures.polygons_df(spark).filter(F.col("kind") == "building") \
         .select("way_id", xy_ring_col(F.col("ring")).alias("ring_a"), "bbox")
     zones = fixtures.zones_df(spark).select(
         "zone_id", xy_ring_col(F.col("ring")).alias("ring_b"), "bbox")
     pairs = polygon_pair_candidates(bld, F.broadcast(zones), level=12)
-    out = overlay_intersection_fp(pairs, ["way_id", "zone_id"])
-    return out.filter(F.col("inter_fp") != 0) \
-        .select("way_id", "zone_id", "inter_fp")
+    # union/difference areas fall out algebraically (A∪B = A + B − A∩B,
+    # A−B = A − A∩B) — fixed-point integers, so exact in both dialects
+    areas = pairs.select(
+        "way_id", "zone_id",
+        shoelace_fp_col(F.col("ring_a")).alias("__a_fp"),
+        shoelace_fp_col(F.col("ring_b")).alias("__b_fp"))
+    out = overlay_intersection_fp(pairs, ["way_id", "zone_id"]) \
+        .join(areas, on=["way_id", "zone_id"])
+    return out.filter(F.col("inter_fp") != 0).select(
+        "way_id", "zone_id", "inter_fp",
+        (F.col("__a_fp") + F.col("__b_fp") - F.col("inter_fp")).alias("union_fp"),
+        (F.col("__a_fp") - F.col("inter_fp")).alias("diff_fp"))
 
 
 @register(
