@@ -194,6 +194,32 @@ def word_shingles_sql(text: str, k: int = 3) -> str:
     )
 
 
+def word_ngrams_col(text: Column, k: int = 2) -> Column:
+    """NON-distinct word k-grams (multiset, for repetition metrics — Gopher
+    'fraction of n-grams occupied by the top n-gram' needs raw counts, unlike
+    the deduped shingles above). Empty array when the doc has < k tokens.
+    Row-local (no explode/shuffle until the caller asks for one)."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    sh = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + F.lit(j)).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams_sql(text: str, k: int = 2) -> str:
+    toks = tokens_sql(text)
+    joined = " || ' ' || ".join(f"({toks})[i + {j}]" for j in range(k))
+    sh = f"list_transform(range(1, len({toks}) - {k - 2}), i -> {joined})"
+    return (
+        f"CASE WHEN len({toks}) >= {k} THEN {sh} "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
 def fingerprint_col(text: Column, k_shingle: int = 3, bottom_k: int = 8) -> Column:
     """Bottom-k sketch fingerprint: md5 of the ``bottom_k`` smallest shingle
     hashes — a winnowing-style document fingerprint (one string per doc,

@@ -2215,6 +2215,192 @@ def text_ngram_topk(spark, sf_dir):
     )
 
 
+@register(
+    "text_gopher_repetition",
+    f"""
+    WITH g AS (
+      SELECT doc_id, UNNEST({TA.word_ngrams_sql('text', 2)}) AS gram
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, gram, COUNT(*) AS n FROM g GROUP BY doc_id, gram
+    ),
+    p AS (
+      SELECT doc_id, CAST(MAX(n) AS BIGINT) AS top_bigram_n,
+             CAST(SUM(n) AS BIGINT) AS n_bigrams
+      FROM c GROUP BY doc_id
+    ),
+    base AS (
+      SELECT d.doc_id,
+             CAST(len({TA.tokens_sql('text')}) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct({TA.tokens_sql('text')})) AS BIGINT)
+               AS n_distinct_tokens,
+             COALESCE(p.top_bigram_n, 0) AS top_bigram_n,
+             COALESCE(CAST(p.top_bigram_n AS DOUBLE)
+                      / CAST(p.n_bigrams AS DOUBLE),
+                      CAST(0 AS DOUBLE)) AS top_bigram_frac
+      FROM documents d LEFT JOIN p USING (doc_id)
+    )
+    SELECT doc_id, n_tokens, n_distinct_tokens,
+           CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             AS distinct_ratio,
+           top_bigram_n, top_bigram_frac,
+           CAST(CASE WHEN CAST(n_distinct_tokens AS DOUBLE)
+                          / CAST(n_tokens AS DOUBLE) >= {_dbl(0.15)}
+                      AND top_bigram_frac <= {_dbl(0.05)}
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM base
+    """,
+)
+def text_gopher_repetition(spark, sf_dir):
+    """Gopher-style repetition quality metrics per document: distinct-word
+    ratio and the fraction of all word bigrams occupied by the single most
+    frequent bigram (Rae et al. 2021 'fraction of characters in the most
+    common n-gram' analog on the word level), plus a keep gate on both.
+    Plan: row-local n-gram expansion -> two-level hash agg keyed by
+    (doc_id, gram) with map-side combine -> left join back onto the doc
+    scan. No corpus-wide state, no windows; the (doc_id, gram) shuffle is
+    the only exchange and its key is near-unique (no skew)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = TA.tokens_col(F.col("text"))
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+    )
+    g = d.select(
+        "doc_id",
+        F.explode(TA.word_ngrams_col(F.col("text"), 2)).alias("gram"))
+    c = g.groupBy("doc_id", "gram").agg(F.count("*").alias("n"))
+    p = c.groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("top_bigram_n"),
+        F.sum("n").cast("long").alias("n_bigrams"),
+    )
+    out = base.join(p, "doc_id", "left")
+    dr = (F.col("n_distinct_tokens").cast("double")
+          / F.col("n_tokens").cast("double"))
+    frac = F.coalesce(
+        F.col("top_bigram_n").cast("double") / F.col("n_bigrams").cast("double"),
+        F.lit(0.0))
+    return out.select(
+        "doc_id", "n_tokens", "n_distinct_tokens",
+        dr.alias("distinct_ratio"),
+        F.coalesce(F.col("top_bigram_n"), F.lit(0)).cast("long")
+         .alias("top_bigram_n"),
+        frac.alias("top_bigram_frac"),
+        F.when((dr >= F.lit(0.15)) & (frac <= F.lit(0.05)), 1).otherwise(0)
+         .cast("long").alias("keep"),
+    )
+
+
+@register(
+    "text_tfidf_topterms",
+    f"""
+    WITH tok AS (
+      SELECT lang, doc_id, UNNEST({TA.tokens_sql('text')}) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY lang, term
+    ),
+    dfreq AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY term
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT lang, term, tf, df,
+             CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT lang, term, tf, df, score, rank FROM (
+      SELECT lang, term, tf, df, score,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY score DESC, term ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def text_tfidf_topterms(spark, sf_dir):
+    """Corpus TF-IDF salience: term frequency per (lang, term) weighted by
+    inverse document frequency (linear N/df inverse — division is IEEE
+    exact-rounded in both engines, unlike ln), top-5 per language.
+    Plan: one explode feeding two hash aggs (tf keyed by (lang, term), df
+    keyed by term — both map-side combined), a term-keyed shuffle join
+    between two already-aggregated (small) sides, a broadcast scalar for N,
+    and a per-lang window over the tiny scored set. The explode output is
+    never joined or windowed raw."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", "doc_id",
+        F.explode(TA.tokens_col(F.col("text"))).alias("term"))
+    tf = tok.groupBy("lang", "term").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df"))
+    n = d.agg(F.count("*").cast("long").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang", "term", "tf", "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double")
+             / F.col("df").cast("double")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "term", "tf", "df", "score", "rank")
+    )
+
+
+@register(
+    "rel_range_join",
+    """
+    WITH p AS (
+      SELECT event_id, (event_id * 37) % 100000 AS pos FROM events
+    ),
+    i AS (
+      SELECT doc_id, (doc_id * 911) % 100000 AS start_v,
+             (doc_id * 911) % 100000 + 40 + (doc_id % 60) * 4 AS end_v
+      FROM documents
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event,
+           CAST(MIN(pos) AS BIGINT) AS min_pos,
+           CAST(MAX(pos) AS BIGINT) AS max_pos
+    FROM i JOIN p ON p.pos BETWEEN i.start_v AND i.end_v
+    GROUP BY doc_id
+    """,
+)
+def rel_range_join(spark, sf_dir):
+    """Binned 1-D range join (operators/rangejoin.py): points fall into
+    intervals via bin-explode + equi-join + BETWEEN refine instead of the
+    BroadcastNestedLoopJoin a bare BETWEEN condition would plan. The oracle
+    states the same join declaratively (DuckDB plans its own IEJoin)."""
+    from geoutils_spark.operators.rangejoin import range_join
+
+    e = _t(spark, sf_dir, "events").select("event_id")
+    p = e.select("event_id", ((F.col("event_id") * 37) % 100000).alias("pos"))
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = d.select(
+        "doc_id",
+        ((F.col("doc_id") * 911) % 100000).alias("start_v"),
+        ((F.col("doc_id") * 911) % 100000 + 40
+         + (F.col("doc_id") % 60) * 4).alias("end_v"),
+    )
+    joined = range_join(p, i, "pos", "start_v", "end_v", bin_width=128)
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("event_id").cast("long").alias("sum_event"),
+        F.min("pos").cast("long").alias("min_pos"),
+        F.max("pos").cast("long").alias("max_pos"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window/date/percentile coverage block
 # ---------------------------------------------------------------------------

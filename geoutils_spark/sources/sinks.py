@@ -402,3 +402,106 @@ def write_gltf_meshes(meshes: DataFrame, out_dir: str,
                 json.dump(gltf, f)
 
     df.foreachPartition(write_partition)
+
+
+def write_dae_meshes(meshes: DataFrame, out_dir: str,
+                     group_col: str | None = None) -> None:
+    """S8 sink, Collada 1.4.1 flavor: one ``.dae`` per group — the last of
+    the reference's assimp export targets that is an open plain-text spec
+    (obj/fbx/gltf/dae, /root/reference/osm2assimp/assimpwriter.cpp:16-28;
+    fbx stays the documented closed-binary seam). Collada is pure XML, so
+    the writer is dependency-free: one ``<geometry>`` per way holding a
+    float ``<source>`` + ``<triangles>`` primitive, one ``<node>``
+    instancing it in the visual scene. Faces with >3 vertices are
+    fan-triangulated on write (Collada ``<triangles>`` is triangles-only;
+    the OBJ sink preserves polygons verbatim). Same grouped
+    one-task-per-file shape as the OBJ/glTF sinks; timestamps are fixed so
+    output is byte-deterministic for a given grouping.
+    """
+    import os
+    from xml.sax.saxutils import escape as _xesc
+
+    df = meshes
+    if group_col is None:
+        group_col = "__grp"
+        df = df.withColumn(group_col, F.lit("scene"))
+    df = df.repartition(F.col(group_col))
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(rows):
+        handles = {}
+        nodes = {}
+        try:
+            for r in rows:
+                g = r[group_col]
+                if g not in handles:
+                    f = open(os.path.join(out_dir, f"{g}.dae"), "w")
+                    handles[g] = f
+                    nodes[g] = []
+                    f.write('<?xml version="1.0" encoding="utf-8"?>\n')
+                    f.write('<COLLADA xmlns="http://www.collada.org/2005/'
+                            '11/COLLADASchema" version="1.4.1">\n')
+                    f.write('  <asset>\n'
+                            '    <contributor><authoring_tool>geoutils_spark'
+                            '</authoring_tool></contributor>\n'
+                            '    <created>1970-01-01T00:00:00</created>\n'
+                            '    <modified>1970-01-01T00:00:00</modified>\n'
+                            '    <unit name="meter" meter="1"/>\n'
+                            '    <up_axis>Z_UP</up_axis>\n'
+                            '  </asset>\n')
+                    f.write('  <library_geometries>\n')
+                f = handles[g]
+                wid = _xesc(str(r["way_id"]))
+                nodes[g].append(wid)
+                nv = len(r["vx"])
+                tris = []
+                for face in r["faces"]:
+                    for k in range(1, len(face) - 1):
+                        tris.append((face[0], face[k], face[k + 1]))
+                coords = " ".join(
+                    f"{x!r} {y!r} {z!r}"
+                    for x, y, z in zip(r["vx"], r["vy"], r["vz"]))
+                f.write(f'    <geometry id="way_{wid}-mesh" name="way_{wid}">\n'
+                        f'      <mesh>\n'
+                        f'        <source id="way_{wid}-pos">\n'
+                        f'          <float_array id="way_{wid}-pos-array" '
+                        f'count="{3 * nv}">{coords}</float_array>\n'
+                        f'          <technique_common>\n'
+                        f'            <accessor source="#way_{wid}-pos-array" '
+                        f'count="{nv}" stride="3">\n'
+                        f'              <param name="X" type="float"/>\n'
+                        f'              <param name="Y" type="float"/>\n'
+                        f'              <param name="Z" type="float"/>\n'
+                        f'            </accessor>\n'
+                        f'          </technique_common>\n'
+                        f'        </source>\n'
+                        f'        <vertices id="way_{wid}-vtx">\n'
+                        f'          <input semantic="POSITION" '
+                        f'source="#way_{wid}-pos"/>\n'
+                        f'        </vertices>\n'
+                        f'        <triangles count="{len(tris)}">\n'
+                        f'          <input semantic="VERTEX" '
+                        f'source="#way_{wid}-vtx" offset="0"/>\n'
+                        f'          <p>'
+                        + " ".join(f"{a} {b} {c}" for a, b, c in tris)
+                        + '</p>\n'
+                        f'        </triangles>\n'
+                        f'      </mesh>\n'
+                        f'    </geometry>\n')
+        finally:
+            for g, f in handles.items():
+                f.write('  </library_geometries>\n')
+                f.write('  <library_visual_scenes>\n'
+                        '    <visual_scene id="Scene" name="Scene">\n')
+                for wid in nodes[g]:
+                    f.write(f'      <node id="way_{wid}" name="way_{wid}">'
+                            f'<instance_geometry url="#way_{wid}-mesh"/>'
+                            f'</node>\n')
+                f.write('    </visual_scene>\n'
+                        '  </library_visual_scenes>\n'
+                        '  <scene><instance_visual_scene url="#Scene"/>'
+                        '</scene>\n'
+                        '</COLLADA>\n')
+                f.close()
+
+    df.foreachPartition(write_partition)

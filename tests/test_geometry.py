@@ -208,3 +208,48 @@ def test_gltf_export_sink(spark, tmp_path):
                        F.count("*").alias("m")).collect()[0]
     assert n_meshes == stats.m
     assert total_v == stats.v and total_i == 3 * stats.f
+
+
+def test_dae_export_sink(spark, tmp_path):
+    """S8 Collada flavor: valid 1.4.1 XML, one geometry + scene node per
+    way, float_array positions round-trip, triangle indices in range and
+    counted after fan-triangulation (assimpwriter.cpp:16-28 dae target)."""
+    import xml.etree.ElementTree as ET
+
+    from geoutils_spark.operators.extrude import extrude_polygons
+    from geoutils_spark.sources import fixtures
+    from geoutils_spark.sources.sinks import write_dae_meshes
+
+    polys = fixtures.polygons_df(spark).filter("kind = 'building'") \
+        .withColumn("height", F.lit(30.0))
+    meshes = extrude_polygons(polys, "height")
+    out = str(tmp_path / "dae")
+    write_dae_meshes(meshes, out)
+    import glob
+    files = glob.glob(out + "/*.dae")
+    assert files
+    NS = "{http://www.collada.org/2005/11/COLLADASchema}"
+    n_geoms = n_nodes = total_v = total_t = 0
+    for p in files:
+        root = ET.parse(p).getroot()
+        assert root.get("version") == "1.4.1"
+        for geom in root.iter(f"{NS}geometry"):
+            n_geoms += 1
+            arr = geom.find(f".//{NS}float_array")
+            vals = [float(t) for t in arr.text.split()]
+            assert len(vals) == int(arr.get("count")) and len(vals) % 3 == 0
+            nv = len(vals) // 3
+            total_v += nv
+            tris = geom.find(f".//{NS}triangles")
+            idx = [int(t) for t in tris.find(f"{NS}p").text.split()]
+            assert len(idx) == 3 * int(tris.get("count"))
+            assert max(idx) < nv and min(idx) >= 0
+            total_t += int(tris.get("count"))
+        n_nodes += sum(1 for _ in root.iter(f"{NS}node"))
+    stats = meshes.select(
+        F.sum("n_vertices").alias("v"), F.count("*").alias("m"),
+        F.sum(F.aggregate("faces", F.lit(0),
+                          lambda acc, fc: acc + F.size(fc) - 2)).alias("t"),
+    ).collect()[0]
+    assert n_geoms == stats.m and n_nodes == stats.m
+    assert total_v == stats.v and total_t == stats.t
