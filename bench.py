@@ -56,6 +56,14 @@ EXTRA = [
     # r3 additions
     "geo_poly_boolean",
     "geom_scene_stats",
+    "geo_ribbon_vertices",
+    "rel_range_join",
+    "text_gopher_repetition",
+    "text_tfidf_topterms",
+    "text_ngram_topk",
+    "rel_funnel",
+    "text_hash_split",
+    "dedup_shingle_coverage",
 ]
 
 

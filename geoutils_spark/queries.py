@@ -657,6 +657,72 @@ def rel_sessionize(spark, sf_dir):
 
 
 @register(
+    "rel_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id AND e.ts >= v.t1
+               AND e.ts <= v.t1 + INTERVAL 24 HOUR
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id AND e.ts >= c.t2
+               AND e.ts <= c.t2 + INTERVAL 24 HOUR
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    u AS (SELECT DISTINCT user_id FROM events)
+    SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM (
+      SELECT u.user_id,
+             CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                       WHEN c.user_id IS NOT NULL THEN 2
+                       WHEN v.user_id IS NOT NULL THEN 1
+                       ELSE 0 END AS BIGINT) AS stage
+      FROM u LEFT JOIN v USING (user_id)
+             LEFT JOIN c USING (user_id)
+             LEFT JOIN p USING (user_id)
+    ) GROUP BY stage
+    """,
+)
+def rel_funnel(spark, sf_dir):
+    """Ordered funnel (view -> click -> purchase) with a 24 h conversion
+    window per stage: each stage's timestamp must fall in
+    [prev_first_hit, prev_first_hit + 24 h]; users counted at the deepest
+    stage reached. Plan: three conditional-min hash aggs chained by
+    user_id equi-joins (each post-agg side is one row per user — AQE
+    broadcasts them), no windows over the raw event stream and no
+    per-event state, so it scales with events/user_id cardinality."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    win = F.expr("INTERVAL 24 HOURS")
+    v = (e.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    c = (e.filter(F.col("event_type") == "click").join(v, "user_id")
+         .filter((F.col("ts") >= F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
+         .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    p = (e.filter(F.col("event_type") == "purchase").join(c, "user_id")
+         .filter((F.col("ts") >= F.col("t2")) & (F.col("ts") <= F.col("t2") + win))
+         .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    u = e.select("user_id").distinct()
+    stage = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    ).cast("long")
+    return (
+        u.join(v, "user_id", "left")
+        .join(c.select("user_id", "t2"), "user_id", "left")
+        .join(p.select("user_id", "t3"), "user_id", "left")
+        .select(stage.alias("stage"))
+        .groupBy("stage").agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
+@register(
     "rel_value_histogram",
     """
     SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket, COUNT(*) AS n
@@ -2582,3 +2648,122 @@ def geom_ground_mesh(spark, sf_dir):
         F.lit(0).alias("group_id"), F.explode(F.col("ring")).alias("p"),
     ).select("group_id", F.col("p.lon").alias("lon"), F.col("p.lat").alias("lat"))
     return ground_mesh(pts).select("group_id", "n_vertices", "n_faces")
+
+
+@register(
+    "text_hash_split",
+    """
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM (
+      SELECT CASE WHEN bucket < 90 THEN 'train'
+                  WHEN bucket < 95 THEN 'val'
+                  ELSE 'test' END AS split, n_chars
+      FROM (
+        SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 100 AS bucket, n_chars
+        FROM documents
+      )
+    ) GROUP BY split
+    """,
+)
+def text_hash_split(spark, sf_dir):
+    """Deterministic hash-based train/val/test split (90/5/5): bucket =
+    first-8-hex of md5(doc_id) mod 100. The assignment is a pure row-local
+    projection — stable under repartitioning, re-runs, and corpus growth
+    (a doc's split never changes when other docs are added), which is the
+    property a 100 TB training-data pipeline needs from its split column.
+    The only exchange here is the final 3-group count. Hex->int parity:
+    Spark conv(h,16,10) == DuckDB CAST('0x'||h AS BIGINT)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16, 10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+@register(
+    "dedup_shingle_coverage",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, UNNEST({TA.word_shingles_sql('text', 6)}) AS gram
+      FROM documents
+    ),
+    dup AS (
+      SELECT gram FROM sh GROUP BY gram HAVING COUNT(*) > 1
+    ),
+    nd AS (
+      SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_shingles
+      FROM sh JOIN dup USING (gram) GROUP BY sh.doc_id
+    ),
+    base AS (
+      SELECT doc_id,
+             CAST(len({TA.word_shingles_sql('text', 6)}) AS BIGINT)
+               AS n_shingles
+      FROM documents
+    )
+    SELECT b.doc_id, b.n_shingles,
+           COALESCE(nd.n_dup_shingles, CAST(0 AS BIGINT)) AS n_dup_shingles,
+           CAST(COALESCE(nd.n_dup_shingles, 0) AS DOUBLE)
+             / CAST(b.n_shingles AS DOUBLE) AS dup_frac
+    FROM base b LEFT JOIN nd USING (doc_id)
+    WHERE CAST(COALESCE(nd.n_dup_shingles, 0) AS DOUBLE)
+            / CAST(b.n_shingles AS DOUBLE) > 0.5
+    """,
+)
+def dedup_shingle_coverage(spark, sf_dir):
+    """Exact-substring duplicate coverage (RefinedWeb/Lee et al. 'deduplicating
+    training data' shingle approximation): for each doc, the fraction of its
+    distinct word 6-shingles that also occur in at least one OTHER doc; docs
+    above 50% coverage are flagged. A dedup tier between doc-level exact
+    (text_dedup_exact) and doc-level near-dup (MinHash): it catches partial
+    copy-paste that whole-doc hashing misses.
+
+    Scale plan: shingle counts aggregate with map-side combine; the
+    join-back carries ONLY grams seen in >1 doc (usually a small fraction
+    of the vocabulary), never the full exploded corpus — same
+    survivors-only discipline as the LSH operators. n_shingles is computed
+    row-local (no join needed for the denominator). At 100 TB the dup-gram
+    set broadcast-joins when it fits, else it is a gram-keyed shuffle of
+    a post-agg (vocabulary-sized) side."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = TA.word_shingles_col(F.col("text"), 6)
+    sh = d.select("doc_id", F.explode(grams).alias("gram"))
+    dup = (
+        sh.groupBy("gram")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("gram")
+    )
+    n_dup = (
+        sh.join(dup, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_dup_shingles"))
+    )
+    base = d.select("doc_id", F.size(grams).cast("long").alias("n_shingles"))
+    per = (
+        base.join(n_dup, "doc_id", "left")
+        .fillna({"n_dup_shingles": 0})
+        .withColumn(
+            "dup_frac",
+            F.col("n_dup_shingles").cast("double")
+            / F.col("n_shingles").cast("double"),
+        )
+    )
+    return per.filter(F.col("dup_frac") > 0.5).select(
+        "doc_id", "n_shingles", "n_dup_shingles", "dup_frac"
+    )
