@@ -64,6 +64,9 @@ EXTRA = [
     "rel_funnel",
     "text_hash_split",
     "dedup_shingle_coverage",
+    "text_decontaminate",
+    "text_stratified_sample",
+    "rel_source_mix",
 ]
 
 

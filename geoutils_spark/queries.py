@@ -2767,3 +2767,128 @@ def dedup_shingle_coverage(spark, sf_dir):
     return per.filter(F.col("dup_frac") > 0.5).select(
         "doc_id", "n_shingles", "n_dup_shingles", "dup_frac"
     )
+
+
+@register(
+    "text_decontaminate",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, UNNEST({TA.word_shingles_sql('text', 8)}) AS gram
+      FROM documents
+    ),
+    bench AS (
+      SELECT DISTINCT gram FROM sh WHERE doc_id % 5 = 0
+    ),
+    hits AS (
+      SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM sh JOIN bench USING (gram)
+      WHERE sh.doc_id % 5 <> 0
+      GROUP BY sh.doc_id
+    )
+    SELECT doc_id, n_hits FROM hits
+    """,
+)
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/PaLM-style n-gram overlap scan):
+    flag training documents sharing any distinct word 8-shingle with the
+    held-out benchmark suite (synthesized deterministically here as every
+    doc_id % 5 == 0 document), reporting how many benchmark 8-grams each
+    contaminated doc contains. Plan: the benchmark shingle set is tiny
+    relative to the corpus (eval suites are KBs against 100 TB), so it is
+    aggregated once and BROADCAST into a hash join against the row-local
+    corpus shingle explode — the training corpus itself is never shuffled;
+    the only wide exchange is the per-doc hit count keyed by doc_id."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = d.select("doc_id", F.explode(TA.word_shingles_col(F.col("text"), 8)).alias("gram"))
+    bench = (
+        sh.filter(F.col("doc_id") % 5 == 0).select("gram").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % 5 != 0)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+
+
+@register(
+    "text_stratified_sample",
+    """
+    SELECT doc_id, lang, rank FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+             ) AS rank
+      FROM documents
+    ) WHERE rank <= 5
+    """,
+)
+def text_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: top-5 docs per language ordered by
+    md5(doc_id) — a reproducible per-stratum sample whose membership is
+    independent of partitioning, scan order, and re-runs (unlike
+    df.sample(), whose output depends on split layout). At 100 TB take-n
+    per stratum runs as a window over a lang-keyed exchange; for tiny n a
+    per-partition pre-filter (keep local top-n first) bounds the shuffle.
+    The md5 sort key is the same trick the hash-split uses: growth-stable,
+    seedable by salting the hashed string."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    key = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy("lang").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "lang", "rank")
+    )
+
+
+@register(
+    "rel_source_mix",
+    f"""
+    WITH per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(sum_chars) AS BIGINT) AS total_chars,
+             CAST(COUNT(*) AS BIGINT) AS n_sources
+      FROM per
+    )
+    SELECT source, n_docs, sum_chars,
+           CAST(sum_chars AS DOUBLE) / CAST(total_chars AS DOUBLE)
+             AS actual_share,
+           (CAST(total_chars AS DOUBLE) / CAST(n_sources AS DOUBLE))
+             / CAST(sum_chars AS DOUBLE) AS mix_weight
+    FROM per CROSS JOIN tot
+    """,
+)
+def rel_source_mix(spark, sf_dir):
+    """Training-mix weighting: per-source character totals, each source's
+    share of the corpus, and the repeat/sampling weight that equalizes the
+    mix (uniform target share). The pattern behind data-mixture rebalancing
+    in corpus curation: per-source agg -> scalar totals -> broadcast the
+    one-row totals back. Both divisions are written in the identical order
+    in both dialects (IEEE-exact parity)."""
+    per = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+    tot = per.agg(
+        F.sum("sum_chars").cast("long").alias("total_chars"),
+        F.count("*").cast("long").alias("n_sources"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "sum_chars",
+        (F.col("sum_chars").cast("double") / F.col("total_chars").cast("double"))
+        .alias("actual_share"),
+        (
+            (F.col("total_chars").cast("double") / F.col("n_sources").cast("double"))
+            / F.col("sum_chars").cast("double")
+        ).alias("mix_weight"),
+    )
