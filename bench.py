@@ -67,6 +67,8 @@ EXTRA = [
     "text_decontaminate",
     "text_stratified_sample",
     "rel_source_mix",
+    "rel_hll_distinct",
+    "rel_kmv_distinct",
 ]
 
 
@@ -129,18 +131,27 @@ def main():
 
     # Warmup (untimed): spin up python UDF workers + JIT the hot codegen —
     # a long-running cluster is warm; first-run effects here are 2-3x and
-    # would swamp query-to-query comparisons.
+    # would swamp query-to-query comparisons. Measured r3 (BENCH/
+    # R03_DELTA.md): this VM's warm-up tail is LONG — full-size reps kept
+    # converging 165s -> 68 -> 43 -> 25 over four reps (kernel-side page/
+    # JIT warmup, sys-time dominated) — so warm up at full N_PAGES and use
+    # enough reps that min-of-reps reads the converged value, with an
+    # early-stop once two consecutive reps agree within 10% (a warm
+    # machine needs 3 reps total, a cold one up to `reps`).
     flagship_pipeline(spark, max(N_PAGES // 20, 10_000))
+    flagship_pipeline(spark, N_PAGES)
 
-    # best-of-REPS per query: the sandbox VM shows 2-3x run-to-run noise on
-    # UDF-heavy stages; min-of-reps reports the machine's actual capability
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "6"))
 
     best = 1e18
-    for _ in range(reps):
+    for i in range(reps):
         t0 = time.time()
         n_matched, _total_text = flagship_pipeline(spark, N_PAGES)
-        best = min(best, time.time() - t0)
+        dt = time.time() - t0
+        improved = dt < best * 0.90
+        best = min(best, dt)
+        if i >= 2 and not improved:
+            break  # plateau: the last rep stopped improving on best
     times["pipeline_spatial_join"] = round(best, 3)
     times["pipeline_pages_per_sec"] = round(N_PAGES / best, 1)
 

@@ -1,0 +1,235 @@
+"""Distributed cardinality sketches (HyperLogLog, KMV bottom-k).
+
+Why from scratch: at 100 TB an exact ``COUNT(DISTINCT key)`` is a full
+key-shuffle; a register sketch aggregates with map-side combine (each
+partition folds its rows into 256 register maxima, the exchange carries
+256 rows) and merges across cohorts by ``MAX`` — the standard scale path
+(same family as Spark's builtin ``approx_count_distinct``; rebuilt here on
+md5 so every intermediate is DETERMINISTIC and replayable in ANSI SQL for
+the oracle gate, which the builtin's private xxhash64 layout is not).
+
+Design for dialect parity (see queries.py header rules):
+
+* the only shared hash is md5 — bucket = first 2 hex digits (m = 256
+  registers), rank word = next 13 hex digits (52 bits);
+* rho (leading-zero rank) is computed on the HEX STRING with exact
+  integer/CASE algebra — no float log2 anywhere;
+* the HLL register sum  sum_j 2^(-M_j)  is scaled by 2^CAP and kept in
+  BIGINT: terms are exact powers of two <= 2^53, 256 of them < 2^63 — the
+  sum is EXACT, so Spark's nondeterministic aggregation order cannot
+  drift the value (the usual double-sum parity trap);
+* the final estimate performs the float divisions in one fixed order and
+  is rounded to 6 decimals to absorb any last-ulp libm difference.
+
+Reference semantics: Flajolet et al. 2007 (HyperLogLog), Bar-Yossef et
+al. 2002 (KMV / k-minimum-values); the reference repo has no sketch tier
+— this extends the engine for the web-scale dedup/statistics workloads
+described in SURVEY §2.10.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SKETCHES_VERSION = 1
+
+M_REGISTERS = 256          # 2^8 buckets, first 2 hex digits
+RANK_HEX_DIGITS = 13       # 52-bit rank word
+CAP = RANK_HEX_DIGITS * 4 + 1   # max rho = 53; scaled terms 2^(CAP - rho)
+# alpha_m for m = 256 (Flajolet et al. Fig. 3)
+ALPHA_256 = 0.7213 / (1.0 + 1.079 / 256.0)
+
+
+# ---------------------------------------------------------------------------
+# hash pieces (Spark Column + DuckDB SQL twins)
+# ---------------------------------------------------------------------------
+
+def _md5_col(v: Column) -> Column:
+    return F.md5(v.cast("string").cast("binary"))
+
+
+def _md5_sql(v: str) -> str:
+    return f"md5(CAST({v} AS VARCHAR))"
+
+
+def hll_bucket_col(v: Column) -> Column:
+    """Register index 0..255 from the first 2 md5 hex digits."""
+    return F.conv(F.substring(_md5_col(v), 1, 2), 16, 10).cast("long")
+
+
+def hll_bucket_sql(v: str) -> str:
+    return f"CAST('0x' || substr({_md5_sql(v)}, 1, 2) AS BIGINT)"
+
+
+def hll_rho_col(v: Column) -> Column:
+    """Leading-zero rank of the 52-bit word spelled by hex digits 3..15:
+    rho = (# leading zero bits) + 1, computed with exact string/integer
+    algebra — 4 bits per leading '0' hex digit plus 4 - bit_length(first
+    nonzero digit); all-zero word => rho = 53."""
+    word = F.substring(_md5_col(v), 3, RANK_HEX_DIGITS)
+    stripped = F.regexp_replace(word, "^0+", "")
+    nz = F.length(stripped)                       # 0 when word is all zeros
+    lead_digit = F.conv(F.substring(stripped, 1, 1), 16, 10).cast("long")
+    bitlen = (
+        F.when(lead_digit >= 8, 4)
+        .when(lead_digit >= 4, 3)
+        .when(lead_digit >= 2, 2)
+        .otherwise(1)
+    )
+    full = F.lit(RANK_HEX_DIGITS * 4 + 1)         # 53
+    rho = (F.lit(RANK_HEX_DIGITS) - nz) * 4 + (F.lit(4) - bitlen) + F.lit(1)
+    return F.when(nz == 0, full).otherwise(rho).cast("long")
+
+
+def hll_rho_sql(v: str) -> str:
+    word = f"substr({_md5_sql(v)}, 3, {RANK_HEX_DIGITS})"
+    stripped = f"regexp_replace({word}, '^0+', '')"
+    nz = f"length({stripped})"
+    lead = f"CAST('0x' || substr({stripped}, 1, 1) AS BIGINT)"
+    bitlen = (
+        f"CASE WHEN {lead} >= 8 THEN 4 WHEN {lead} >= 4 THEN 3 "
+        f"WHEN {lead} >= 2 THEN 2 ELSE 1 END"
+    )
+    full = RANK_HEX_DIGITS * 4 + 1
+    rho = f"({RANK_HEX_DIGITS} - {nz}) * 4 + (4 - {bitlen}) + 1"
+    return f"CAST(CASE WHEN {nz} = 0 THEN {full} ELSE {rho} END AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# HLL estimate from the register table (shared scalar algebra)
+# ---------------------------------------------------------------------------
+
+def hll_estimate_exprs() -> dict[str, str]:
+    """The estimate algebra over aggregated (reg_sum, n_buckets), emitted as
+    ANSI SQL usable verbatim in BOTH dialects (Spark selectExpr and DuckDB)
+    so the float evaluation order is identical by construction.
+
+    reg_sum = sum over PRESENT registers of 2^(CAP - M_j); absent registers
+    (rho would be 0) contribute 2^CAP each: S = reg_sum + (m - n_buckets)*2^CAP.
+    E_raw = alpha * m^2 / (S / 2^CAP)  ==  (alpha*m^2*2^CAP) / S.
+    Small-range correction (linear counting) when E_raw <= 2.5m and empty
+    registers exist: E = m * ln(m / V). ln output is rounded to 6 dp to
+    absorb last-ulp libm differences between JVM and C runtimes."""
+    m = M_REGISTERS
+    two_cap = float(2 ** CAP)
+    s_full = f"(reg_sum + ({m} - n_buckets) * CAST({2 ** CAP} AS BIGINT))"
+    e_raw = (
+        f"(CAST({ALPHA_256!r} AS DOUBLE) * {m} * {m} * CAST({two_cap!r} AS DOUBLE))"
+        f" / CAST({s_full} AS DOUBLE)"
+    )
+    v_empty = f"({m} - n_buckets)"
+    linear = f"ROUND({m} * LN(CAST({m} AS DOUBLE) / CAST({v_empty} AS DOUBLE)), 6)"
+    estimate = (
+        f"CAST(CASE WHEN {e_raw} <= {2.5 * m!r} AND {v_empty} > 0 "
+        f"THEN {linear} ELSE ROUND({e_raw}, 6) END AS DOUBLE)"
+    )
+    return {"s_full": s_full, "estimate": estimate}
+
+
+def hll_distinct(df: DataFrame, key: str) -> DataFrame:
+    """One-row DataFrame (reg_sum, n_buckets, hll_estimate) for COUNT
+    DISTINCT key. Plan: row-local bucket/rho projection -> 256-row register
+    max (map-side combine; the exchange carries <= m rows per partition) ->
+    scalar fold. Merging cohort sketches = MAX per register, which is the
+    same agg — union inputs compose for free."""
+    regs = (
+        df.select(
+            hll_bucket_col(F.col(key)).alias("bucket"),
+            hll_rho_col(F.col(key)).alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    term = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST({CAP} - m_j AS INT))"
+    )
+    folded = regs.agg(
+        F.sum(term).cast("long").alias("reg_sum"),
+        F.count("*").cast("long").alias("n_buckets"),
+    )
+    ex = hll_estimate_exprs()
+    return folded.selectExpr(
+        "reg_sum", "n_buckets", f"{ex['estimate']} AS hll_estimate"
+    )
+
+
+def hll_distinct_sql(table: str, key: str) -> str:
+    """DuckDB replay of hll_distinct — identical algebra, identical float
+    evaluation order."""
+    ex = hll_estimate_exprs()
+    return f"""
+    WITH regs AS (
+      SELECT {hll_bucket_sql(key)} AS bucket,
+             CAST(MAX({hll_rho_sql(key)}) AS BIGINT) AS m_j
+      FROM {table} GROUP BY 1
+    ),
+    folded AS (
+      SELECT CAST(SUM(CAST(1 AS BIGINT) << CAST({CAP} - m_j AS INTEGER)) AS BIGINT)
+               AS reg_sum,
+             CAST(COUNT(*) AS BIGINT) AS n_buckets
+      FROM regs
+    )
+    SELECT reg_sum, n_buckets, {ex['estimate']} AS hll_estimate FROM folded
+    """
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct estimate
+# ---------------------------------------------------------------------------
+
+KMV_HEX_DIGITS = 13   # 52-bit normalized hash => exact double in [0, 1)
+
+
+def kmv_hash_col(v: Column) -> Column:
+    """52-bit md5 prefix as an exact BIGINT in [0, 2^52)."""
+    return F.conv(F.substring(_md5_col(v), 1, KMV_HEX_DIGITS), 16, 10).cast("long")
+
+
+def kmv_hash_sql(v: str) -> str:
+    return f"CAST('0x' || substr({_md5_sql(v)}, 1, {KMV_HEX_DIGITS}) AS BIGINT)"
+
+
+def kmv_distinct(df: DataFrame, key: str, k: int = 64) -> DataFrame:
+    """One-row (kth_hash, kmv_estimate): estimate = (k-1) / (kth smallest
+    distinct normalized hash). Plan: distinct hash -> global bottom-k
+    (ORDER BY LIMIT k is a partial top-k per partition, k rows to the
+    driver-side final sort — never a full sort at scale) -> one division.
+    kth_hash is an exact integer so the oracle comparison is exact."""
+    two52 = float(2**52)
+    kth = (
+        df.select(kmv_hash_col(F.col(key)).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .agg(F.max("h").cast("long").alias("kth_hash"),
+             F.count("*").cast("long").alias("n_seen"))
+    )
+    est = (
+        f"CAST(CASE WHEN n_seen < {k} THEN CAST(n_seen AS DOUBLE) "
+        f"ELSE ROUND(CAST({k - 1} AS DOUBLE) "
+        f"/ (CAST(kth_hash AS DOUBLE) / CAST({two52!r} AS DOUBLE)), 6) "
+        f"END AS DOUBLE)"
+    )
+    return kth.selectExpr("kth_hash", "n_seen", f"{est} AS kmv_estimate")
+
+
+def kmv_distinct_sql(table: str, key: str, k: int = 64) -> str:
+    two52 = float(2**52)
+    est = (
+        f"CAST(CASE WHEN n_seen < {k} THEN CAST(n_seen AS DOUBLE) "
+        f"ELSE ROUND(CAST({k - 1} AS DOUBLE) "
+        f"/ (CAST(kth_hash AS DOUBLE) / CAST({two52!r} AS DOUBLE)), 6) "
+        f"END AS DOUBLE)"
+    )
+    return f"""
+    WITH mins AS (
+      SELECT DISTINCT {kmv_hash_sql(key)} AS h FROM {table}
+      ORDER BY h LIMIT {k}
+    ),
+    kth AS (
+      SELECT CAST(MAX(h) AS BIGINT) AS kth_hash,
+             CAST(COUNT(*) AS BIGINT) AS n_seen
+      FROM mins
+    )
+    SELECT kth_hash, n_seen, {est} AS kmv_estimate FROM kth
+    """

@@ -2700,15 +2700,19 @@ def text_hash_split(spark, sf_dir):
     "dedup_shingle_coverage",
     f"""
     WITH sh AS (
-      SELECT doc_id, UNNEST({TA.word_shingles_sql('text', 6)}) AS gram
-      FROM documents
+      SELECT doc_id,
+             CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS gram_fp
+      FROM (
+        SELECT doc_id, UNNEST({TA.word_shingles_sql('text', 6)}) AS gram
+        FROM documents
+      )
     ),
     dup AS (
-      SELECT gram FROM sh GROUP BY gram HAVING COUNT(*) > 1
+      SELECT gram_fp FROM sh GROUP BY gram_fp HAVING COUNT(*) > 1
     ),
     nd AS (
       SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_shingles
-      FROM sh JOIN dup USING (gram) GROUP BY sh.doc_id
+      FROM sh JOIN dup USING (gram_fp) GROUP BY sh.doc_id
     ),
     base AS (
       SELECT doc_id,
@@ -2742,15 +2746,24 @@ def dedup_shingle_coverage(spark, sf_dir):
     a post-agg (vocabulary-sized) side."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     grams = TA.word_shingles_col(F.col("text"), 6)
-    sh = d.select("doc_id", F.explode(grams).alias("gram"))
+    # shuffle 60-bit md5 fingerprints, not gram strings (~5x fewer bytes
+    # through both exchanges; the oracle replays the identical hash, and at
+    # 60 bits a collision needs ~2^30 DISTINCT grams per birthday pair —
+    # shard the corpus into cohorts before that)
+    sh = d.select("doc_id", F.explode(grams).alias("gram")).select(
+        "doc_id",
+        F.conv(
+            F.substring(F.md5(F.col("gram").cast("binary")), 1, 15), 16, 10
+        ).cast("long").alias("gram_fp"),
+    )
     dup = (
-        sh.groupBy("gram")
+        sh.groupBy("gram_fp")
         .agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") > 1)
-        .select("gram")
+        .select("gram_fp")
     )
     n_dup = (
-        sh.join(dup, "gram", "left_semi")
+        sh.join(dup, "gram_fp", "left_semi")
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_dup_shingles"))
     )
@@ -2773,15 +2786,19 @@ def dedup_shingle_coverage(spark, sf_dir):
     "text_decontaminate",
     f"""
     WITH sh AS (
-      SELECT doc_id, UNNEST({TA.word_shingles_sql('text', 8)}) AS gram
-      FROM documents
+      SELECT doc_id,
+             CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS gram_fp
+      FROM (
+        SELECT doc_id, UNNEST({TA.word_shingles_sql('text', 8)}) AS gram
+        FROM documents
+      )
     ),
     bench AS (
-      SELECT DISTINCT gram FROM sh WHERE doc_id % 5 = 0
+      SELECT DISTINCT gram_fp FROM sh WHERE doc_id % 5 = 0
     ),
     hits AS (
       SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
-      FROM sh JOIN bench USING (gram)
+      FROM sh JOIN bench USING (gram_fp)
       WHERE sh.doc_id % 5 <> 0
       GROUP BY sh.doc_id
     )
@@ -2797,15 +2814,24 @@ def text_decontaminate(spark, sf_dir):
     relative to the corpus (eval suites are KBs against 100 TB), so it is
     aggregated once and BROADCAST into a hash join against the row-local
     corpus shingle explode — the training corpus itself is never shuffled;
-    the only wide exchange is the per-doc hit count keyed by doc_id."""
+    the only wide exchange is the per-doc hit count keyed by doc_id. Grams
+    travel as 60-bit md5 fingerprints (exact-int), not strings — the
+    broadcast table and the probe column are 8 bytes per gram."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = d.select("doc_id", F.explode(TA.word_shingles_col(F.col("text"), 8)).alias("gram"))
+    sh = d.select(
+        "doc_id", F.explode(TA.word_shingles_col(F.col("text"), 8)).alias("gram")
+    ).select(
+        "doc_id",
+        F.conv(
+            F.substring(F.md5(F.col("gram").cast("binary")), 1, 15), 16, 10
+        ).cast("long").alias("gram_fp"),
+    )
     bench = (
-        sh.filter(F.col("doc_id") % 5 == 0).select("gram").distinct()
+        sh.filter(F.col("doc_id") % 5 == 0).select("gram_fp").distinct()
     )
     return (
         sh.filter(F.col("doc_id") % 5 != 0)
-        .join(F.broadcast(bench), "gram")
+        .join(F.broadcast(bench), "gram_fp")
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_hits"))
     )
@@ -2892,3 +2918,63 @@ def rel_source_mix(spark, sf_dir):
             / F.col("sum_chars").cast("double")
         ).alias("mix_weight"),
     )
+
+
+from geoutils_spark.functions import sketches as SK  # noqa: E402
+
+
+@register(
+    "rel_hll_distinct",
+    f"""
+    WITH hll AS ({SK.hll_distinct_sql('lineitem', 'l_orderkey')}),
+    exact AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
+      FROM lineitem
+    )
+    SELECT reg_sum, n_buckets, hll_estimate, exact_distinct
+    FROM hll CROSS JOIN exact
+    """,
+)
+def rel_hll_distinct(spark, sf_dir):
+    """Deterministic HyperLogLog distinct-count sketch (functions/sketches.py)
+    over lineitem.l_orderkey, alongside the exact count for accuracy
+    evidence. The register algebra is exact-integer (md5 buckets, string
+    leading-zero ranks, power-of-two sums in BIGINT) so the sketch value is
+    identical under any partitioning/agg order — which is what makes an
+    approx op oracle-checkable at all. At 100 TB the exact column is the
+    full key shuffle you can no longer afford; the sketch's exchange is
+    <=256 rows per partition with map-side combine, and cohort sketches
+    merge by register MAX."""
+    li = _t(spark, sf_dir, "lineitem")
+    hll = SK.hll_distinct(li, "l_orderkey")
+    exact = li.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("exact_distinct")
+    )
+    return hll.crossJoin(F.broadcast(exact))
+
+
+@register(
+    "rel_kmv_distinct",
+    f"""
+    WITH kmv AS ({SK.kmv_distinct_sql('orders', 'o_custkey', 256)}),
+    exact AS (
+      SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+      FROM orders
+    )
+    SELECT kth_hash, n_seen, kmv_estimate, exact_distinct
+    FROM kmv CROSS JOIN exact
+    """,
+)
+def rel_kmv_distinct(spark, sf_dir):
+    """KMV (k-minimum-values, k=256) distinct-count sketch over
+    orders.o_custkey with the exact count alongside. The kth-smallest
+    distinct 52-bit md5 hash is an exact integer (oracle compares it
+    bit-for-bit); the estimate is one fixed-order division. Scale shape:
+    per-partition bottom-k (TakeOrderedAndProject) -> k rows total — no
+    full sort, no key shuffle; sketches union by re-taking bottom-k."""
+    o = _t(spark, sf_dir, "orders")
+    kmv = SK.kmv_distinct(o, "o_custkey", 256)
+    exact = o.agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_distinct")
+    )
+    return kmv.crossJoin(F.broadcast(exact))

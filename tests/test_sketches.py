@@ -1,0 +1,94 @@
+"""Cardinality-sketch invariants: accuracy, partition-independence, and the
+register-merge property that makes HLL/KMV usable as distributed combiners."""
+import pytest
+from pyspark.sql import functions as F
+
+from geoutils_spark.functions import sketches as SK
+
+
+@pytest.fixture(scope="module")
+def keys(spark):
+    # 20k rows, 5k distinct keys, deterministic
+    return spark.range(20000).select((F.col("id") % 5000).alias("k"))
+
+
+def test_hll_accuracy(spark, keys):
+    est = SK.hll_distinct(keys, "k").collect()[0]["hll_estimate"]
+    # m=256 => relative std error ~1.04/16 = 6.5%; allow 3 sigma
+    assert abs(est - 5000) / 5000 < 0.20, est
+
+
+def test_kmv_accuracy(spark, keys):
+    est = SK.kmv_distinct(keys, "k", 256).collect()[0]["kmv_estimate"]
+    assert abs(est - 5000) / 5000 < 0.20, est
+
+
+def test_partition_independence(spark, keys):
+    a = SK.hll_distinct(keys.repartition(1), "k").collect()[0]
+    b = SK.hll_distinct(keys.repartition(17), "k").collect()[0]
+    assert a["reg_sum"] == b["reg_sum"]
+    assert a["n_buckets"] == b["n_buckets"]
+    assert a["hll_estimate"] == b["hll_estimate"]
+    ka = SK.kmv_distinct(keys.repartition(1), "k", 64).collect()[0]
+    kb = SK.kmv_distinct(keys.repartition(17), "k", 64).collect()[0]
+    assert ka["kth_hash"] == kb["kth_hash"]
+
+
+def test_hll_merge_is_register_max(spark, keys):
+    """Sketching two halves and MAX-merging their registers must equal the
+    sketch of the union — the property that lets cohort sketches combine
+    without touching raw keys."""
+    left = keys.filter(F.col("k") < 2500)
+    right = keys.filter(F.col("k") >= 2000)  # overlapping halves
+
+    def registers(df):
+        return (
+            df.select(
+                SK.hll_bucket_col(F.col("k")).alias("bucket"),
+                SK.hll_rho_col(F.col("k")).alias("rho"),
+            )
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("m_j"))
+        )
+
+    merged = (
+        registers(left)
+        .unionByName(registers(right))
+        .groupBy("bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    whole = registers(keys)
+    m = {r["bucket"]: r["m_j"] for r in merged.collect()}
+    w = {r["bucket"]: r["m_j"] for r in whole.collect()}
+    assert m == w
+
+
+def test_hll_small_range_linear_counting(spark):
+    """Tiny cardinalities take the linear-counting branch and stay accurate
+    (raw HLL is biased low there)."""
+    small = spark.range(30).select(F.col("id").alias("k"))
+    est = SK.hll_distinct(small, "k").collect()[0]["hll_estimate"]
+    assert abs(est - 30) / 30 < 0.15, est
+
+
+def test_rho_algebra_matches_bit_math(spark):
+    """String leading-zero rank == arithmetic leading-zero rank on the same
+    md5 prefix, checked exhaustively on 2000 keys."""
+    import hashlib
+
+    rows = spark.range(2000).select(F.col("id").alias("k"))
+    got = {
+        r["k"]: (r["b"], r["rho"])
+        for r in rows.select(
+            "k",
+            SK.hll_bucket_col(F.col("k")).alias("b"),
+            SK.hll_rho_col(F.col("k")).alias("rho"),
+        ).collect()
+    }
+    for k in range(2000):
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        bucket = int(h[:2], 16)
+        word = int(h[2 : 2 + SK.RANK_HEX_DIGITS], 16)
+        nbits = SK.RANK_HEX_DIGITS * 4
+        rho = nbits + 1 if word == 0 else nbits - word.bit_length() + 1
+        assert got[k] == (bucket, rho), (k, got[k], (bucket, rho))
