@@ -2739,11 +2739,12 @@ def dedup_shingle_coverage(spark, sf_dir):
 
     Scale plan: shingle counts aggregate with map-side combine; the
     join-back carries ONLY grams seen in >1 doc (usually a small fraction
-    of the vocabulary), never the full exploded corpus — same
-    survivors-only discipline as the LSH operators. n_shingles is computed
-    row-local (no join needed for the denominator). At 100 TB the dup-gram
-    set broadcast-joins when it fits, else it is a gram-keyed shuffle of
-    a post-agg (vocabulary-sized) side."""
+    of the vocabulary, broadcast here), never the full exploded corpus —
+    same survivors-only discipline as the LSH operators. One pass over the
+    exploded shingles computes numerator and denominator together, so the
+    (interpreted HOF) shingle expansion runs exactly twice. At 100 TB the
+    dup-gram set broadcast-joins when it fits, else it is a gram-keyed
+    shuffle of a post-agg (vocabulary-sized) side."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     grams = TA.word_shingles_col(F.col("text"), 6)
     # shuffle 60-bit md5 fingerprints, not gram strings (~5x fewer bytes
@@ -2760,17 +2761,19 @@ def dedup_shingle_coverage(spark, sf_dir):
         sh.groupBy("gram_fp")
         .agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") > 1)
-        .select("gram_fp")
+        .select("gram_fp", F.lit(1).alias("hit"))
     )
-    n_dup = (
-        sh.join(dup, "gram_fp", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("n_dup_shingles"))
-    )
-    base = d.select("doc_id", F.size(grams).cast("long").alias("n_shingles"))
+    # one pass over the exploded shingles computes BOTH the denominator
+    # (count of all shingles) and the numerator (count of dup-marked ones):
+    # the shingle explode is evaluated twice total (dup agg + this), never
+    # a third time for a separate n_shingles scan
     per = (
-        base.join(n_dup, "doc_id", "left")
-        .fillna({"n_dup_shingles": 0})
+        sh.join(F.broadcast(dup), "gram_fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.count("hit").cast("long").alias("n_dup_shingles"),
+        )
         .withColumn(
             "dup_frac",
             F.col("n_dup_shingles").cast("double")
