@@ -2981,3 +2981,220 @@ def rel_kmv_distinct(spark, sf_dir):
         F.countDistinct("o_custkey").cast("long").alias("exact_distinct")
     )
     return kmv.crossJoin(F.broadcast(exact))
+
+
+# ---------------------------------------------------------------------------
+# Webtext block — URL parsing/normalization, per-host aggregation, PII
+# redaction. The corpus-side operations a web-scale training pipeline runs
+# before anything geo/relational: canonical URL keys for dedup, host-level
+# reputation rollups, PII masking. documents.source is a flat label, so a
+# realistic URL / PII-salted text column is derived deterministically from
+# doc_id with IDENTICAL arithmetic in both dialects (the _docs_with_mutants
+# discipline).
+# ---------------------------------------------------------------------------
+from geoutils_spark.functions import pii as PII  # noqa: E402
+from geoutils_spark.functions import urls as U  # noqa: E402
+
+
+def _docs_with_urls(spark, sf_dir):
+    """documents + a synthetic url: mixed-case hosts (1/11), trailing
+    slashes (1/5), ?ref= params (1/3), #fragments (1/4)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    i = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    url = F.concat(
+        F.lit("https://"),
+        F.when(i % 11 == 0, F.lit("Sub")).otherwise(F.lit("sub")), s(i % 7),
+        F.lit(".site"), s(i % 503), F.lit(".example"),
+        F.lit("/"), F.col("lang"), F.lit("/page"), s(i),
+        F.when(i % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(i % 3 == 0, F.concat(F.lit("?ref=r"), s(i % 13))).otherwise(F.lit("")),
+        F.when(i % 4 == 0, F.lit("#sec2")).otherwise(F.lit("")),
+    )
+    return d.withColumn("url", url)
+
+
+_DOCS_URLS_SQL = """
+      SELECT doc_id, lang, n_chars,
+             'https://'
+             || CASE WHEN doc_id % 11 = 0 THEN 'Sub' ELSE 'sub' END
+             || CAST(doc_id % 7 AS VARCHAR)
+             || '.site' || CAST(doc_id % 503 AS VARCHAR) || '.example'
+             || '/' || lang || '/page' || CAST(doc_id AS VARCHAR)
+             || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+             || CASE WHEN doc_id % 3 = 0
+                     THEN '?ref=r' || CAST(doc_id % 13 AS VARCHAR) ELSE '' END
+             || CASE WHEN doc_id % 4 = 0 THEN '#sec2' ELSE '' END AS url
+      FROM documents
+"""
+
+
+@register(
+    "web_url_parse",
+    f"""
+    WITH docs AS ({_DOCS_URLS_SQL}),
+    parsed AS (
+      SELECT doc_id, url,
+             {U.url_host_sql('url')} AS host,
+             {U.url_path_sql('url')} AS path,
+             {U.url_param_sql('url', 'ref')} AS ref,
+             {U.url_normalize_sql('url')} AS norm_url
+      FROM docs
+    )
+    SELECT doc_id, host,
+           {U.url_domain_sql('lower(host)')} AS domain,
+           {U.url_tld_sql('lower(host)')} AS tld,
+           {U.url_depth_sql('path')} AS depth,
+           ref, norm_url
+    FROM parsed
+    """,
+)
+def web_url_parse(spark, sf_dir):
+    """Row-level URL decomposition + canonicalization (functions/urls.py):
+    host / registered-domain / tld / path depth / one query param, plus the
+    normalized dedup key (fragment stripped, scheme+host lowercased,
+    trailing slash dropped). Pure regex codegen — zero shuffles, scales
+    embarrassingly; hash-exact vs the oracle across case/slash/param/
+    fragment variants."""
+    d = _docs_with_urls(spark, sf_dir)
+    parsed = d.select(
+        "doc_id", "url",
+        U.url_host_col(F.col("url")).alias("host"),
+        U.url_path_col(F.col("url")).alias("path"),
+        U.url_param_col(F.col("url"), "ref").alias("ref"),
+        U.url_normalize_col(F.col("url")).alias("norm_url"),
+    )
+    return parsed.select(
+        "doc_id", "host",
+        U.url_domain_col(F.lower(F.col("host"))).alias("domain"),
+        U.url_tld_col(F.lower(F.col("host"))).alias("tld"),
+        U.url_depth_col(F.col("path")).alias("depth"),
+        "ref", "norm_url",
+    )
+
+
+@register(
+    "web_host_stats",
+    f"""
+    WITH docs AS ({_DOCS_URLS_SQL}),
+    parsed AS (
+      SELECT doc_id, n_chars,
+             lower({U.url_host_sql('url')}) AS host,
+             {U.url_param_sql('url', 'ref')} AS ref
+      FROM docs
+    )
+    SELECT {U.url_domain_sql('host')} AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(SUM(CASE WHEN ref <> '' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_ref,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM parsed
+    GROUP BY domain
+    """,
+)
+def web_host_stats(spark, sf_dir):
+    """Registered-domain rollup (crawl-politeness / reputation shape):
+    docs, distinct hosts, referral share, total bytes per domain. One
+    hash-aggregate with map-side combine on a low-cardinality key — the
+    plan a 100-TB per-host budget pass needs (domains ≪ pages; no skew
+    because the key is a uniform synthetic hash here, salting available
+    via spatial_join's n_salt pattern if a megasite dominates)."""
+    d = _docs_with_urls(spark, sf_dir)
+    parsed = d.select(
+        "doc_id", "n_chars",
+        F.lower(U.url_host_col(F.col("url"))).alias("host"),
+        U.url_param_col(F.col("url"), "ref").alias("ref"),
+    )
+    return (
+        parsed.groupBy(U.url_domain_col(F.col("host")).alias("domain"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("host").cast("long").alias("n_hosts"),
+            F.sum(F.when(F.col("ref") != "", 1).otherwise(0))
+            .cast("long").alias("n_with_ref"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+def _docs_with_pii(spark, sf_dir):
+    """documents with deterministic PII salted in: emails on 1/3 of docs,
+    phones on 1/5, bare IPv4s on 1/7 (classes overlap on lcm shares)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    salted = F.concat(
+        F.col("text"),
+        F.when(i % 3 == 0, F.concat(
+            F.lit(" contact user"), s(i), F.lit("@mail"), s(i % 7),
+            F.lit(".example"))).otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.concat(
+            F.lit(" call "), s(i % 900 + 100), F.lit("-555-"),
+            F.lpad(s(i % 10000), 4, "0"))).otherwise(F.lit("")),
+        F.when(i % 7 == 0, F.concat(
+            F.lit(" from "), s(i % 256), F.lit(".0."), s(i % 100),
+            F.lit(".1"))).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", salted.alias("text"))
+
+
+_DOCS_PII_SQL = """
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+                          || '.example' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' call ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                          || '-555-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' from ' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.0.' || CAST(doc_id % 100 AS VARCHAR) || '.1'
+                     ELSE '' END AS text
+      FROM documents
+"""
+
+
+def _pii_count_sql_cols() -> str:
+    cs = PII.pii_count_sqls("text")
+    return ",\n           ".join(f"{sql} AS {name}" for name, sql in cs.items())
+
+
+@register(
+    "text_pii_redact",
+    f"""
+    WITH salted AS ({_DOCS_PII_SQL})
+    SELECT doc_id,
+           {_pii_count_sql_cols()},
+           {PII.has_pii_sql('text')} AS has_pii,
+           CAST(length({PII.redact_sql('text')}) AS INT) AS redact_len,
+           md5({PII.redact_sql('text')}) AS redact_md5
+    FROM salted
+    """,
+)
+def text_pii_redact(spark, sf_dir):
+    """PII scan + mask (functions/pii.py): per-class counts, the cheap
+    rlike gate, and the redacted text verified byte-exactly via md5.
+    Chained regexp codegen — row-local at any corpus size; the pass every
+    training corpus gets before release."""
+    d = _docs_with_pii(spark, sf_dir)
+    t = F.col("text")
+    red = PII.redact_col(t)
+    counts = PII.pii_count_cols(t)
+    return d.select(
+        "doc_id",
+        *[c.alias(n) for n, c in counts.items()],
+        PII.has_pii_col(t).alias("has_pii"),
+        F.length(red).cast("int").alias("redact_len"),
+        F.md5(red.cast("binary")).alias("redact_md5"),
+    )

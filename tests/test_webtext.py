@@ -1,0 +1,101 @@
+"""URL parsing/normalization (functions/urls.py) and PII redaction
+(functions/pii.py): edge semantics the oracle's synthetic corpus can't
+reach — non-URLs, ports, bare hosts, overlap-order, boundary anchoring."""
+
+from pyspark.sql import functions as F
+
+from geoutils_spark.functions import pii as PII
+from geoutils_spark.functions import urls as U
+
+
+def _one(spark, text, col):
+    return spark.createDataFrame([(text,)], ["s"]).select(
+        col(F.col("s")).alias("out")).collect()[0]["out"]
+
+
+# ---------------------------------------------------------------------- urls
+
+def test_url_parts(spark):
+    url = "https://Sub3.site42.example/en/page9/?ref=r2#sec"
+    df = spark.createDataFrame([(url,)], ["u"]).select(
+        U.url_host_col(F.col("u")).alias("host"),
+        U.url_path_col(F.col("u")).alias("path"),
+        U.url_param_col(F.col("u"), "ref").alias("ref"),
+    ).collect()[0]
+    assert df["host"] == "Sub3.site42.example"
+    assert df["path"] == "/en/page9/"
+    assert df["ref"] == "r2"
+    low = "sub3.site42.example"
+    row = spark.createDataFrame([(low,)], ["h"]).select(
+        U.url_domain_col(F.col("h")).alias("d"),
+        U.url_tld_col(F.col("h")).alias("t"),
+    ).collect()[0]
+    assert row["d"] == "site42.example"
+    assert row["t"] == "example"
+
+
+def test_url_non_url_and_port(spark):
+    assert _one(spark, "not a url", U.url_host_col) == ""
+    assert _one(spark, "http://h.example:8080/x", U.url_host_col) == "h.example:8080"
+    # tld regex is port-safe
+    assert _one(spark, "h.example:8080", U.url_tld_col) == "example"
+    # bare host (no path) -> empty path, depth 0
+    assert _one(spark, "https://h.example", U.url_path_col) == ""
+    assert _one(spark, "", lambda c: U.url_depth_col(c)) == 0
+
+
+def test_url_depth(spark):
+    assert _one(spark, "/a/b/c", U.url_depth_col) == 3
+    assert _one(spark, "/a/b/", U.url_depth_col) == 2
+    assert _one(spark, "/", U.url_depth_col) == 0
+
+
+def test_url_normalize(spark):
+    cases = {
+        # fragment stripped, scheme+host lowercased, path case kept
+        "https://A.Example/Path#frag": "https://a.example/Path",
+        # trailing slash dropped once
+        "https://a.example/p/": "https://a.example/p",
+        # query survives; slash before ? is not trailing
+        "https://a.example/p/?x=1": "https://a.example/p/?x=1",
+        # non-URL passes through untouched
+        "plain text": "plain text",
+    }
+    for raw, want in cases.items():
+        assert _one(spark, raw, U.url_normalize_col) == want, raw
+
+
+# ----------------------------------------------------------------------- pii
+
+def test_pii_counts_and_redact(spark):
+    text = ("reach a@b.example or c.d+e@f.example, call 212-555-0186, "
+            "server at 10.0.42.1 end")
+    row = spark.createDataFrame([(text,)], ["s"]).select(
+        *[c.alias(n) for n, c in PII.pii_count_cols(F.col("s")).items()],
+        PII.redact_col(F.col("s")).alias("red"),
+        PII.has_pii_col(F.col("s")).alias("has"),
+    ).collect()[0]
+    assert (row["n_email"], row["n_phone"], row["n_ip"]) == (2, 1, 1)
+    assert row["has"] is True
+    assert row["red"] == ("reach <EMAIL> or <EMAIL>, call <PHONE>, "
+                          "server at <IP> end")
+
+
+def test_pii_boundaries(spark):
+    # \b anchoring: longer digit runs are not phones/IPs
+    assert _one(spark, "id 1212-555-01867 x", PII.redact_col) == "id 1212-555-01867 x"
+    # known \b limitation (RE2 has no lookbehind to rule it out): a version
+    # string's tail "2.3.4.5" sits after a '.' boundary and reads as an IP
+    assert _one(spark, "v1.2.3.4.5", PII.redact_col) == "v1.<IP>"
+    # IP at string edges
+    assert _one(spark, "1.2.3.4", PII.redact_col) == "<IP>"
+    # no PII -> untouched, gate false
+    clean = "just words here"
+    assert _one(spark, clean, PII.redact_col) == clean
+    assert _one(spark, clean, PII.has_pii_col) is False
+
+
+def test_pii_email_swallows_before_phone(spark):
+    # redaction order email-first: the email's domain dots never get
+    # mistaken for an IP fragment
+    assert _one(spark, "x a1@2.3.co y", PII.redact_col) == "x <EMAIL> y"
