@@ -233,3 +233,78 @@ def kmv_distinct_sql(table: str, key: str, k: int = 64) -> str:
     )
     SELECT kth_hash, n_seen, {est} AS kmv_estimate FROM kth
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch
+# ---------------------------------------------------------------------------
+# Cormode & Muthukrishnan 2005: d independent hash rows x w counters;
+# point-frequency estimate = min over rows of the counter the key hashes
+# to (always an over-estimate; error <= eN with prob 1-delta for
+# w = e/eps, d = ln(1/delta)). The distributed shape is the whole point:
+# counters aggregate with map-side combine, the exchange carries at most
+# d*w rows regardless of input size, and sketches for different corpus
+# cohorts merge by cell-wise + (a BIGINT sum — exact, order-independent).
+
+CM_DEPTH = 4      # hash rows
+CM_WIDTH = 256    # counters per row: first 2 hex digits of a salted md5
+
+
+def cm_bucket_col(v: Column, row: int) -> Column:
+    """Counter index 0..w-1 for hash row ``row`` (salted md5)."""
+    h = F.md5(F.concat(F.lit(f"{row}:"), v.cast("string")).cast("binary"))
+    return F.conv(F.substring(h, 1, 2), 16, 10).cast("long")
+
+
+def cm_bucket_sql(v: str, row: int) -> str:
+    return (f"CAST('0x' || substr(md5('{row}:' || CAST({v} AS VARCHAR)), 1, 2)"
+            f" AS BIGINT)")
+
+
+def cm_sketch(df: DataFrame, key: str, depth: int = CM_DEPTH) -> DataFrame:
+    """The sketch as (j, cell, cnt) rows — at most depth*w of them.
+
+    Plan: one generator expression fans each input row into ``depth``
+    (row, cell) pairs row-locally, the hash aggregate partials-then-merges,
+    and the final exchange is bounded by the sketch size, not the data."""
+    pairs = F.array(*[
+        F.struct(F.lit(j).alias("j"), cm_bucket_col(F.col(key), j).alias("cell"))
+        for j in range(depth)
+    ])
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.j").alias("j"), F.col("p.cell").alias("cell"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cm_sketch_sql(table: str, key: str, depth: int = CM_DEPTH) -> str:
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {j} AS j, {cm_bucket_sql(key, j)} AS cell FROM {table}"
+        for j in range(depth)
+    )
+    return f"""
+      SELECT j, cell, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ({arms}) GROUP BY j, cell
+    """
+
+
+def cm_estimate(sketch: DataFrame, probes: DataFrame, key: str,
+                depth: int = CM_DEPTH) -> DataFrame:
+    """Point-frequency estimates for ``probes[key]``: min over rows of the
+    addressed counter. The sketch is tiny — broadcast it; probes never
+    shuffle. Missing cells read as 0 (key never seen)."""
+    addr = probes.select(
+        F.col(key),
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("j"),
+                     cm_bucket_col(F.col(key), j).alias("cell"))
+            for j in range(depth)
+        ])).alias("p"),
+    ).select(key, "p.j", "p.cell")
+    return (
+        addr.join(F.broadcast(sketch), ["j", "cell"], "left")
+        .fillna({"cnt": 0})
+        .groupBy(key)
+        .agg(F.min("cnt").cast("long").alias("cm_estimate"))
+    )

@@ -3198,3 +3198,225 @@ def text_pii_redact(spark, sf_dir):
         F.length(red).cast("int").alias("redact_len"),
         F.md5(red.cast("binary")).alias("redact_md5"),
     )
+
+
+_CM_PROBE_LO, _CM_PROBE_HI = 1, 31
+
+
+def _cm_addr_sql(depth: int = SK.CM_DEPTH) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT o_custkey, {j} AS j, {SK.cm_bucket_sql('o_custkey', j)} AS cell"
+        f" FROM probes"
+        for j in range(depth)
+    )
+
+
+@register(
+    "rel_cm_freq",
+    f"""
+    WITH sketch AS ({SK.cm_sketch_sql('orders', 'o_custkey')}),
+    probes AS (
+      SELECT CAST(r AS BIGINT) AS o_custkey
+      FROM range({_CM_PROBE_LO}, {_CM_PROBE_HI}) t(r)
+    ),
+    addr AS ({_cm_addr_sql()}),
+    est AS (
+      SELECT a.o_custkey,
+             CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS cm_estimate
+      FROM addr a LEFT JOIN sketch s USING (j, cell)
+      GROUP BY a.o_custkey
+    ),
+    exact AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT e.o_custkey, e.cm_estimate,
+           CAST(COALESCE(x.exact_cnt, 0) AS BIGINT) AS exact_cnt
+    FROM est e LEFT JOIN exact x USING (o_custkey)
+    """,
+)
+def rel_cm_freq(spark, sf_dir):
+    """Count-Min point-frequency estimates (sketches.py, Cormode &
+    Muthukrishnan) for 30 probe custkeys over orders, exact counts
+    alongside. Sketch counters are BIGINTs addressed by salted md5 — every
+    cell is exactly reproducible in SQL, so unlike approximate-sketch
+    testing-by-tolerance the oracle comparison is bit-exact. Scale shape:
+    the counter exchange is bounded by d*w rows regardless of input;
+    probes join against a broadcast sketch."""
+    o = _t(spark, sf_dir, "orders")
+    sk = SK.cm_sketch(o, "o_custkey")
+    probes = spark.range(_CM_PROBE_LO, _CM_PROBE_HI).select(
+        F.col("id").alias("o_custkey"))
+    est = SK.cm_estimate(sk, probes, "o_custkey")
+    exact = o.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("exact_cnt"))
+    return (
+        est.join(exact, "o_custkey", "left")
+        .fillna({"exact_cnt": 0})
+        .select("o_custkey", "cm_estimate",
+                F.col("exact_cnt").cast("long").alias("exact_cnt"))
+    )
+
+
+_PR_N_MOD = 101           # node space: doc_id residues
+_PR_SCALE = 10**12        # fixed-point mass scale (total rank ~= 1.0)
+_PR_ITERS = 4
+
+
+@register(
+    "web_pagerank",
+    f"""
+    WITH edges AS (
+      SELECT doc_id % {_PR_N_MOD} AS src,
+             (doc_id * 7 + 3) % {_PR_N_MOD} AS dst
+      FROM documents
+    ),
+    outdeg AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS od FROM edges GROUP BY src
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges
+        UNION ALL SELECT dst AS node FROM edges)
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    it0 AS (
+      SELECT node, {_PR_SCALE} // nn.n AS rank FROM nodes CROSS JOIN nn
+    ),
+    """ + ",\n    ".join(
+        f"""it{t + 1} AS (
+      SELECT n.node,
+             ((15 * {_PR_SCALE}) // 100) // nn.n
+               + (85 * COALESCE(s.s, 0)) // 100 AS rank
+      FROM nodes n CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS node, CAST(SUM(r.rank // o.od) AS BIGINT) AS s
+        FROM edges e
+        JOIN it{t} r ON r.node = e.src
+        JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst) s USING (node)
+    )"""
+        for t in range(_PR_ITERS)
+    ) + f"""
+    SELECT node, CAST(rank AS BIGINT) AS rank FROM it{_PR_ITERS}
+    """,
+)
+def web_pagerank(spark, sf_dir):
+    """PageRank over a synthesized domain link graph ({_PR_N_MOD} nodes,
+    one edge per document), damping 0.85, {_PR_ITERS} synchronous
+    iterations — in EXACT fixed-point arithmetic: ranks are BIGINT
+    multiples of 1/10^12, every step is integer div/mul/sum, so the
+    result is bit-identical regardless of aggregation order and the
+    oracle unrolls the same iterations as CTEs. Dangling nodes (in-edges
+    only) keep the teleport share, as in the plain power iteration.
+
+    Scale shape per iteration: one equi-join of the edge list against the
+    rank vector (ranks ≪ edges → broadcast; else both sides pre-
+    partitioned by src) + one hash-aggregate on dst. The Python loop only
+    unrolls the logical plan — nothing is collected; at planet scale each
+    iteration's rank vector is checkpointed to parquet to cut lineage."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = d.select(
+        (F.col("doc_id") % _PR_N_MOD).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % _PR_N_MOD).alias("dst"),
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").cast("long").alias("od"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nn = nodes.agg(F.count("*").cast("long").alias("n"))
+    r = (
+        nodes.crossJoin(F.broadcast(nn))
+        .select("node", F.expr(f"{_PR_SCALE} div n").alias("rank"))
+    )
+    ed = edges.join(outdeg, "src")
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ed.join(r.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("rank div od").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("s"))
+        )
+        r = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .fillna({"s": 0})
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                F.expr(
+                    f"((15 * {_PR_SCALE}) div 100) div n"
+                    " + (85 * s) div 100"
+                ).alias("rank"),
+            )
+        )
+    return r.select("node", F.col("rank").cast("long").alias("rank"))
+
+
+_LM_SCALE = 10**9
+
+
+@register(
+    "text_lm_score",
+    f"""
+    WITH bi AS (
+      SELECT doc_id, unnest({TA.word_ngrams_sql('text', 2)}) AS gram
+      FROM documents
+    ),
+    b2 AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS gfp,
+             CAST('0x' || substr(md5(string_split(gram, ' ')[1]), 1, 15)
+                  AS BIGINT) AS wfp
+      FROM bi
+    ),
+    cnt2 AS (SELECT gfp, CAST(COUNT(*) AS BIGINT) AS c2 FROM b2 GROUP BY gfp),
+    cnt1 AS (SELECT wfp, CAST(COUNT(*) AS BIGINT) AS c1 FROM b2 GROUP BY wfp),
+    per AS (
+      SELECT doc_id, (c2 * {_LM_SCALE}) // c1 AS p
+      FROM b2 JOIN cnt2 USING (gfp) JOIN cnt1 USING (wfp)
+    )
+    SELECT doc_id,
+           CAST(SUM(p) // COUNT(*) AS BIGINT) AS lm_score,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams
+    FROM per GROUP BY doc_id
+    """,
+)
+def text_lm_score(spark, sf_dir):
+    """Corpus-trained bigram-LM fluency score (the CCNet-style LM quality
+    stage, §LLM-pipeline): per doc, the mean conditional probability
+    P(w2|w1) of its bigrams under the corpus's own bigram counts — in
+    EXACT fixed-point (p scaled by 10^9, integer div; BIGINT sums), so
+    aggregation order cannot drift the result and the oracle replays it
+    bit-for-bit. Boilerplate/garble scores low; stock phrasing scores
+    high.
+
+    Scale shape: bigram expansion is row-local; both count tables are
+    POST-AGG (vocabulary-sized, ≪ corpus) and join back on 60-bit md5
+    fingerprints, not gram strings (~5x fewer shuffle bytes — the
+    dedup_shingle_coverage discipline); at 100 TB the count tables
+    broadcast when they fit, else the join keys are uniformly-hashed
+    fingerprints (no skew)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    gram = F.explode(TA.word_ngrams_col(F.col("text"), 2)).alias("gram")
+    b2 = d.select("doc_id", gram).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("gram").cast("binary")), 1, 15),
+               16, 10).cast("long").alias("gfp"),
+        F.conv(
+            F.substring(
+                F.md5(F.split(F.col("gram"), " ").getItem(0).cast("binary")),
+                1, 15),
+            16, 10).cast("long").alias("wfp"),
+    )
+    cnt2 = b2.groupBy("gfp").agg(F.count("*").cast("long").alias("c2"))
+    cnt1 = b2.groupBy("wfp").agg(F.count("*").cast("long").alias("c1"))
+    per = (
+        b2.join(cnt2, "gfp").join(cnt1, "wfp")
+        .select("doc_id", F.expr(f"(c2 * {_LM_SCALE}) div c1").alias("p"))
+    )
+    return per.groupBy("doc_id").agg(
+        F.expr("CAST(sum(p) div count(*) AS BIGINT)").alias("lm_score"),
+        F.count("*").cast("long").alias("n_bigrams"),
+    )

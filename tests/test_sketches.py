@@ -92,3 +92,52 @@ def test_rho_algebra_matches_bit_math(spark):
         nbits = SK.RANK_HEX_DIGITS * 4
         rho = nbits + 1 if word == 0 else nbits - word.bit_length() + 1
         assert got[k] == (bucket, rho), (k, got[k], (bucket, rho))
+
+
+# ---------------------------------------------------------------- count-min
+
+def _cm_skewed(spark):
+    """Zipf-ish: key k appears ~1000/(k+1) times, keys 0..99."""
+    return (
+        spark.range(100)
+        .select(F.col("id").alias("k"),
+                F.explode(F.sequence(F.lit(1), (F.lit(1000) / (F.col("id") + 1)).cast("int")))
+                .alias("_"))
+        .select("k")
+    )
+
+
+def test_cm_never_underestimates(spark):
+    """The defining Count-Min guarantee: estimate >= true count, always."""
+    df = _cm_skewed(spark)
+    sk = SK.cm_sketch(df, "k")
+    probes = spark.range(120).select(F.col("id").alias("k"))  # 100 seen + 20 not
+    est = {r["k"]: r["cm_estimate"]
+           for r in SK.cm_estimate(sk, probes, "k").collect()}
+    exact = {r["k"]: r["c"]
+             for r in df.groupBy("k").agg(F.count("*").alias("c")).collect()}
+    for k in range(120):
+        assert est[k] >= exact.get(k, 0), (k, est[k], exact.get(k, 0))
+    # the heavy hitters are found near-exactly (collisions add little)
+    assert est[0] <= exact[0] * 1.2
+
+
+def test_cm_merge_is_cellwise_sum(spark):
+    """Sketch(A ∪ B) == cell-wise sum of Sketch(A) + Sketch(B) — the
+    mergeability that lets cohort sketches combine without raw data."""
+    a = spark.range(0, 400).select(F.col("id").alias("k"))
+    b = spark.range(200, 600).select(F.col("id").alias("k"))
+    both = SK.cm_sketch(a.unionAll(b), "k")
+    merged = (
+        SK.cm_sketch(a, "k").unionAll(SK.cm_sketch(b, "k"))
+        .groupBy("j", "cell").agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    lhs = {(r["j"], r["cell"]): r["cnt"] for r in both.collect()}
+    rhs = {(r["j"], r["cell"]): r["cnt"] for r in merged.collect()}
+    assert lhs == rhs
+
+
+def test_cm_bounded_size(spark):
+    """The sketch never exceeds depth * width rows, whatever the input."""
+    df = spark.range(20000).select((F.col("id") % 5000).alias("k"))
+    assert SK.cm_sketch(df, "k").count() <= SK.CM_DEPTH * SK.CM_WIDTH
