@@ -69,6 +69,12 @@ EXTRA = [
     "rel_source_mix",
     "rel_hll_distinct",
     "rel_kmv_distinct",
+    "web_url_parse",
+    "web_host_stats",
+    "text_pii_redact",
+    "rel_cm_freq",
+    "web_pagerank",
+    "text_lm_score",
 ]
 
 
