@@ -75,6 +75,8 @@ EXTRA = [
     "rel_cm_freq",
     "web_pagerank",
     "text_lm_score",
+    "text_length_quantiles",
+    "web_snapshot_diff",
 ]
 
 

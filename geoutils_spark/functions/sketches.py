@@ -308,3 +308,114 @@ def cm_estimate(sketch: DataFrame, probes: DataFrame, key: str,
         .groupBy(key)
         .agg(F.min("cnt").cast("long").alias("cm_estimate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Log2-histogram quantile sketch
+# ---------------------------------------------------------------------------
+# The quantile member of the sketch family (distinct -> HLL/KMV,
+# frequency -> CM): bin a non-negative BIGINT measure by the LENGTH OF ITS
+# BINARY REPRESENTATION (= floor(log2 x) + 1 — an exact integer, no libm,
+# so both dialects agree bit-for-bit, unlike DDSketch's log-gamma bins).
+# <= 64 bins whatever the data; bins aggregate with map-side combine and
+# merge across cohorts by bin-wise sum; quantiles come from a cumulative
+# walk with linear interpolation inside the bin, all in integer
+# arithmetic. Relative error is bounded by the bin width (factor-2 bins
+# ~= 100% worst-case relative error, the log2 tradeoff; finer variants
+# sub-split bins — same machinery).
+
+def log2_bin_col(v: Column) -> Column:
+    """Bin index 1..64: length of the binary representation (0 -> 1)."""
+    return F.length(F.conv(v.cast("long"), 10, 2)).cast("long")
+
+
+def log2_bin_sql(v: str) -> str:
+    return f"CAST(length(bin(CAST({v} AS BIGINT))) AS BIGINT)"
+
+
+def log2_hist(df: DataFrame, key: str) -> DataFrame:
+    """The sketch: (bin, cnt, lo, width) rows, <= 64 of them.
+    lo/width are the bin's value range [lo, lo+width) — bin 1 holds {0,1}."""
+    return (
+        df.select(log2_bin_col(F.col(key)).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .selectExpr(
+            "bin", "cnt",
+            "CAST(CASE WHEN bin = 1 THEN 0 ELSE shiftleft(1L, CAST(bin AS INT) - 1) END AS BIGINT) AS lo",
+            "CAST(CASE WHEN bin = 1 THEN 2 ELSE shiftleft(1L, CAST(bin AS INT) - 1) END AS BIGINT) AS width",
+        )
+    )
+
+
+def log2_hist_sql(table: str, key: str) -> str:
+    return f"""
+      SELECT bin, cnt,
+             CAST(CASE WHEN bin = 1 THEN 0
+                  ELSE (CAST(1 AS BIGINT) << (CAST(bin AS INT) - 1)) END AS BIGINT) AS lo,
+             CAST(CASE WHEN bin = 1 THEN 2
+                  ELSE (CAST(1 AS BIGINT) << (CAST(bin AS INT) - 1)) END AS BIGINT) AS width
+      FROM (
+        SELECT {log2_bin_sql(key)} AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM {table} GROUP BY 1
+      )
+    """
+
+
+def log2_quantiles(hist: DataFrame, qs: tuple = (50, 90, 99)) -> DataFrame:
+    """(q, est, n) from the sketch — engine-side cumulative walk over the
+    <= 64-row histogram (a Window over a sketch-sized frame, then the
+    first bin whose cumulative count reaches the target rank; linear
+    interpolation inside the bin in pure integer arithmetic)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    h = (
+        hist.withColumn("cum", F.sum("cnt").over(w).cast("long"))
+        .withColumn("cum_prev", (F.col("cum") - F.col("cnt")).cast("long"))
+        .crossJoin(F.broadcast(
+            hist.agg(F.sum("cnt").cast("long").alias("n"))))
+    )
+    targets = F.explode(F.array(*[F.lit(q) for q in qs])).alias("q")
+    t = h.select("*", targets).withColumn(
+        "r", F.expr("(n * q + 99) div 100").cast("long"))
+    hit = (
+        t.filter(F.col("cum") >= F.col("r"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("q").orderBy("bin")),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    return hit.selectExpr(
+        "CAST(q AS BIGINT) AS q",
+        "CAST(lo + ((r - cum_prev) * width) div cnt AS BIGINT) AS est",
+        "n",
+    )
+
+
+def log2_quantiles_sql(hist_sql: str, qs: tuple = (50, 90, 99)) -> str:
+    q_rows = ", ".join(f"({q})" for q in qs)
+    return f"""
+    WITH hist AS ({hist_sql}),
+    cum AS (
+      SELECT bin, cnt, lo, width,
+             CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (ORDER BY bin) - cnt AS BIGINT) AS cum_prev
+      FROM hist
+    ),
+    nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM hist),
+    targets AS (SELECT q FROM (VALUES {q_rows}) t(q)),
+    hits AS (
+      SELECT t.q, c.bin, c.lo, c.width, c.cnt, c.cum_prev, nn.n,
+             (nn.n * t.q + 99) // 100 AS r,
+             ROW_NUMBER() OVER (PARTITION BY t.q ORDER BY c.bin) AS rk
+      FROM targets t CROSS JOIN nn
+      JOIN cum c ON c.cum >= (nn.n * t.q + 99) // 100
+    )
+    SELECT CAST(q AS BIGINT) AS q,
+           CAST(lo + ((r - cum_prev) * width) // cnt AS BIGINT) AS est,
+           n
+    FROM hits WHERE rk = 1
+    """

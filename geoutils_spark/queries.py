@@ -3420,3 +3420,88 @@ def text_lm_score(spark, sf_dir):
         F.expr("CAST(sum(p) div count(*) AS BIGINT)").alias("lm_score"),
         F.count("*").cast("long").alias("n_bigrams"),
     )
+
+
+@register(
+    "text_length_quantiles",
+    SK.log2_quantiles_sql(SK.log2_hist_sql("documents", "n_chars"),
+                          qs=(10, 50, 90, 99)),
+)
+def text_length_quantiles(spark, sf_dir):
+    """Document-length quantiles (p10/p50/p90/p99) from the log2-histogram
+    sketch (sketches.py) — the corpus length-distribution profile every
+    filtering pipeline starts from. Bins are exact integers (binary-
+    representation length, no libm), the sketch is <= 64 rows with
+    map-side combine, cohort sketches merge by bin-wise sum, and the
+    quantile walk is integer-exact — so an APPROXIMATE quantile operator
+    gets a bit-exact oracle. At 100 TB: one combiner-collapsed exchange of
+    <= 64 rows per partition vs a full sort for exact percentiles."""
+    d = _t(spark, sf_dir, "documents")
+    return SK.log2_quantiles(SK.log2_hist(d, "n_chars"), qs=(10, 50, 90, 99))
+
+
+_SNAP_OFFSET = 10**7
+
+
+@register(
+    "web_snapshot_diff",
+    f"""
+    WITH v1 AS (SELECT doc_id, text FROM documents),
+    v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0
+                  THEN array_to_string(w[1:GREATEST(len(w) - 3, 0)], ' ')
+                  ELSE text END AS text
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+            FROM documents WHERE doc_id % 10 <> 7)
+      UNION ALL
+      SELECT doc_id + {_SNAP_OFFSET} AS doc_id, text
+      FROM documents WHERE doc_id % 8 = 0
+    )
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                WHEN md5(a.text) = md5(b.text) THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+    """,
+)
+def web_snapshot_diff(spark, sf_dir):
+    """Crawl-snapshot change detection (the CDC pass between two corpus
+    versions): full outer join on doc key, content equality by md5 —
+    classifies every page as added / removed / changed / unchanged.
+    Snapshot v2 is derived deterministically (1/10 pages dropped, 1/4
+    texts mutated, 1/8 re-added under new ids). Scale shape: both sides
+    carry only (id, content-hash) into the join — at 100 TB hash at scan
+    time so payloads never shuffle; both snapshots bucket by doc_id for a
+    zero-exchange sort-merge (tables.write_bucketed_by_cell pattern)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    v2 = (
+        d.filter(F.col("doc_id") % 10 != 7)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.array_join(
+                    F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(0))),
+                    " "),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 8 == 0)
+            .select((F.col("doc_id") + _SNAP_OFFSET).alias("doc_id"), "text")
+        )
+    )
+    a = d.select(F.col("doc_id").alias("id_a"),
+                 F.md5(F.col("text").cast("binary")).alias("h_a"))
+    b = v2.select(F.col("doc_id").alias("id_b"),
+                  F.md5(F.col("text").cast("binary")).alias("h_b"))
+    j = a.join(b, a.id_a == b.id_b, "full_outer")
+    return j.select(
+        F.coalesce(F.col("id_a"), F.col("id_b")).alias("doc_id"),
+        F.when(F.col("id_a").isNull(), F.lit("added"))
+        .when(F.col("id_b").isNull(), F.lit("removed"))
+        .when(F.col("h_a") == F.col("h_b"), F.lit("unchanged"))
+        .otherwise(F.lit("changed")).alias("status"),
+    )

@@ -141,3 +141,37 @@ def test_cm_bounded_size(spark):
     """The sketch never exceeds depth * width rows, whatever the input."""
     df = spark.range(20000).select((F.col("id") % 5000).alias("k"))
     assert SK.cm_sketch(df, "k").count() <= SK.CM_DEPTH * SK.CM_WIDTH
+
+
+# ------------------------------------------------------------ log2 quantiles
+
+def test_log2_bin_edges(spark):
+    vals = [(0,), (1,), (2,), (3,), (4,), (1023,), (1024,)]
+    got = {r["v"]: r["b"] for r in
+           spark.createDataFrame(vals, ["v"]).select(
+               "v", SK.log2_bin_col(F.col("v")).alias("b")).collect()}
+    assert got == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3, 1023: 10, 1024: 11}
+
+
+def test_log2_quantiles_within_bin_error(spark):
+    """Estimates land inside the true value's bin (factor-2 guarantee)."""
+    df = spark.range(1, 10001).select(F.col("id").alias("v"))
+    got = {r["q"]: r["est"] for r in
+           SK.log2_quantiles(SK.log2_hist(df, "v"), qs=(50, 90, 99)).collect()}
+    for q, true in ((50, 5000), (90, 9000), (99, 9900)):
+        est = got[q]
+        assert true / 2 <= est <= true * 2, (q, est, true)
+    # monotone in q
+    assert got[50] <= got[90] <= got[99]
+
+
+def test_log2_hist_merge_is_binwise_sum(spark):
+    a = spark.range(0, 5000).select(F.col("id").alias("v"))
+    b = spark.range(3000, 20000).select(F.col("id").alias("v"))
+    both = SK.log2_hist(a.unionAll(b), "v")
+    merged = (
+        SK.log2_hist(a, "v").unionAll(SK.log2_hist(b, "v"))
+        .groupBy("bin", "lo", "width").agg(F.sum("cnt").cast("long").alias("cnt"))
+        .select("bin", "cnt", "lo", "width")
+    )
+    assert sorted(map(tuple, both.collect())) == sorted(map(tuple, merged.collect()))
