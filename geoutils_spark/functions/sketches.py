@@ -370,11 +370,14 @@ def log2_quantiles(hist: DataFrame, qs: tuple = (50, 90, 99)) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
     h = (
         hist.withColumn("cum", F.sum("cnt").over(w).cast("long"))
         .withColumn("cum_prev", (F.col("cum") - F.col("cnt")).cast("long"))
-        .crossJoin(F.broadcast(
-            hist.agg(F.sum("cnt").cast("long").alias("n"))))
+        # total as a frame-wide window over the same <= 64-row sketch — no
+        # second source scan, no crossJoin with a separate aggregate
+        .withColumn("n", F.sum("cnt").over(w_all).cast("long"))
     )
     targets = F.explode(F.array(*[F.lit(q) for q in qs])).alias("q")
     t = h.select("*", targets).withColumn(
@@ -402,17 +405,17 @@ def log2_quantiles_sql(hist_sql: str, qs: tuple = (50, 90, 99)) -> str:
     cum AS (
       SELECT bin, cnt, lo, width,
              CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum,
-             CAST(SUM(cnt) OVER (ORDER BY bin) - cnt AS BIGINT) AS cum_prev
+             CAST(SUM(cnt) OVER (ORDER BY bin) - cnt AS BIGINT) AS cum_prev,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS n
       FROM hist
     ),
-    nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM hist),
     targets AS (SELECT q FROM (VALUES {q_rows}) t(q)),
     hits AS (
-      SELECT t.q, c.bin, c.lo, c.width, c.cnt, c.cum_prev, nn.n,
-             (nn.n * t.q + 99) // 100 AS r,
+      SELECT t.q, c.bin, c.lo, c.width, c.cnt, c.cum_prev, c.n,
+             (c.n * t.q + 99) // 100 AS r,
              ROW_NUMBER() OVER (PARTITION BY t.q ORDER BY c.bin) AS rk
-      FROM targets t CROSS JOIN nn
-      JOIN cum c ON c.cum >= (nn.n * t.q + 99) // 100
+      FROM targets t
+      JOIN cum c ON c.cum >= (c.n * t.q + 99) // 100
     )
     SELECT CAST(q AS BIGINT) AS q,
            CAST(lo + ((r - cum_prev) * width) // cnt AS BIGINT) AS est,
