@@ -1,0 +1,138 @@
+"""End-to-end training-corpus preparation: the composition every LLM data
+pipeline runs, expressed as one declarative chain over the engine's own
+operators (reference has no analog — this is the webtext mission the graft
+adds on top of the geoutils operator set; see SURVEY §2.10, SCALE.md).
+
+Stage order is the cheap-filter-first discipline:
+
+1. language-ID + quality gate   (row-local codegen; cuts the corpus early)
+2. PII redaction                (row-local chained regexp)
+3. exact dedup                  (md5 hash-agg, min-id keeper)
+4. MinHash+LSH near-dedup       (ids-only band join, survivor payloads,
+                                 exact-Jaccard verify, pointer-doubling
+                                 clusters, min-id keeper)
+5. benchmark decontamination    (broadcast eval-suite 8-gram set; corpus
+                                 side row-local — never shuffled)
+6. deterministic hash split     (row-local md5 buckets train/val/test)
+
+Every stage is a DataFrame -> DataFrame function of the already-tested
+operators; nothing here collects, and the only corpus-wide exchanges in
+the whole chain are the two the dedup tier owns (hash-agg on md5; the
+ids-only LSH band join). At 100 TB the chain pipelines inside one scan
+until the exact-dedup exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geoutils_spark.functions import pii as PII
+from geoutils_spark.functions import textanalysis as TA
+from geoutils_spark.operators.dedup import dedup_keepers, minhash_lsh_pairs
+
+SPLIT_BUCKETS = (("train", 0, 90), ("val", 90, 95), ("test", 95, 100))
+
+
+def quality_gate(docs: DataFrame, min_tokens: int = 20) -> DataFrame:
+    """Stage 1: language-ID + Gopher-style quality keep, row-local."""
+    toks = TA.tokens_col(F.col("text"))
+    return (
+        docs.withColumn("lang_pred", TA.langid_col(toks))
+        .filter(TA.quality_keep_col(F.col("text"), min_tokens=min_tokens))
+    )
+
+
+def redact(docs: DataFrame) -> DataFrame:
+    """Stage 2: mask emails/phones/IPs in place; keep per-doc counts."""
+    t = F.col("text")
+    counts = PII.pii_count_cols(t)
+    return docs.select(
+        *[c for c in docs.columns if c != "text"],
+        PII.redact_col(t).alias("text"),
+        sum(counts.values(), F.lit(0)).cast("int").alias("n_pii"),
+    )
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Stage 3: one keeper (min id) per identical text."""
+    hashed = docs.withColumn("__h", F.md5(F.col("text").cast("binary")))
+    keep = hashed.groupBy("__h").agg(F.min(id_col).alias(id_col))
+    return hashed.join(keep, ["__h", id_col], "left_semi").drop("__h")
+
+
+def dedup_near(docs: DataFrame, id_col: str = "doc_id",
+               min_est_jaccard: float = 0.5,
+               min_jaccard: float = 0.7) -> DataFrame:
+    """Stage 4: LSH candidates -> exact-Jaccard verify -> transitive
+    clusters -> drop all but the min id of each cluster."""
+    pairs = minhash_lsh_pairs(docs, id_col=id_col,
+                              min_est_jaccard=min_est_jaccard)
+    verified = (
+        pairs.filter(F.col("exact_jaccard") >= min_jaccard)
+        .select("id_a", "id_b")
+        .localCheckpoint()  # caps lineage before the iterative closure
+    )
+    drop = (
+        dedup_keepers(verified)
+        .filter(~F.col("keep"))
+        .select(F.col("node").alias(id_col))
+    )
+    return docs.join(drop, id_col, "left_anti")
+
+
+def decontaminate(docs: DataFrame, benchmarks: DataFrame,
+                  k: int = 8, max_hits: int = 0) -> DataFrame:
+    """Stage 5: drop docs sharing more than ``max_hits`` k-gram
+    fingerprints with the (broadcast) benchmark suite."""
+    bench_grams = (
+        benchmarks.select(
+            F.explode(TA.word_shingles_col(F.col("text"), k)).alias("gram"))
+        .distinct()
+    )
+    corpus_grams = docs.select(
+        "doc_id",
+        F.explode(TA.word_shingles_col(F.col("text"), k)).alias("gram"))
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("__hits"))
+        .filter(F.col("__hits") > max_hits)
+        .select("doc_id")
+    )
+    return docs.join(hits, "doc_id", "left_anti")
+
+
+def hash_split(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Stage 6: stable train/val/test assignment from md5(id) % 100."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")
+                                 .cast("binary")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    expr = F.lit(None).cast("string")
+    for name, lo, hi in reversed(SPLIT_BUCKETS):
+        expr = F.when((bucket >= lo) & (bucket < hi), name).otherwise(expr)
+    return docs.withColumn("split", expr)
+
+
+def prepare_corpus(docs: DataFrame, benchmarks: DataFrame,
+                   min_tokens: int = 20,
+                   min_est_jaccard: float = 0.5,
+                   min_jaccard: float = 0.7) -> tuple[DataFrame, dict]:
+    """The full chain. Returns (final corpus with lang_pred/n_pii/split
+    columns, per-stage survivor counts). The counts force one action per
+    stage boundary — drop the dict consumer for a single-action run."""
+    counts: dict[str, int] = {"input": docs.count()}
+    d = quality_gate(docs, min_tokens=min_tokens)
+    counts["after_quality"] = d.count()
+    d = redact(d)
+    d = dedup_exact(d)
+    counts["after_exact_dedup"] = d.count()
+    d = dedup_near(d, min_est_jaccard=min_est_jaccard,
+                   min_jaccard=min_jaccard)
+    counts["after_near_dedup"] = d.count()
+    d = decontaminate(d, benchmarks)
+    counts["after_decontaminate"] = d.count()
+    d = hash_split(d)
+    return d, counts

@@ -341,3 +341,81 @@ def nodes_ways_df(spark: SparkSession, extents=LONDON_EXTENTS,
         "id long, refs array<long>, tags map<string,string>",
     )
     return nodes_df, ways_df
+
+
+_CONTAM_PHRASE = "seven silver needles gather beneath willow stones tonight"
+
+
+def benchmark_docs_df(spark: SparkSession, n_bench: int = 20) -> DataFrame:
+    """Tiny eval-suite table (text) for decontamination smoke runs. Every
+    row embeds ``_CONTAM_PHRASE`` (8 tokens = one shared 8-gram), padded
+    with per-row words so rows are distinct; the vocabulary is disjoint
+    from both ``_WORDS`` and the stopword suffix, so only deliberately
+    contaminated corpus docs collide."""
+    return spark.range(n_bench).select(
+        F.concat_ws(
+            " ", F.lit("benchmark question"), F.col("id").cast("string"),
+            F.lit(_CONTAM_PHRASE),
+            F.lit("answer option"), (F.col("id") * 3).cast("string"),
+        ).alias("text"))
+
+
+def corpus_smoke_df(spark: SparkSession, n: int) -> DataFrame:
+    """Corpus-prep smoke table (doc_id, text) with one planted defect class
+    per pipeline stage (operators/corpus.py):
+
+    - ``doc_id % 11 == 0``  -> short junk (< min_tokens) … quality gate
+    - ``doc_id % 13 == 0``  -> embeds the benchmark suite's 8-gram
+      (``_CONTAM_PHRASE``)                     … decontamination
+    - ``doc_id % 5 == 0``   -> exact copy at id+10n     … exact dedup
+    - ``doc_id % 3 == 0``   -> 3-tokens-shorter mutant at id+20n … near dedup
+
+    Body tokens are hash-mixed over a ~1M-word synthetic vocabulary so
+    unrelated docs share essentially no shingles (``pages_df`` text cycles
+    a 15-word list with period ≤15, which makes *every* doc a near-dup of
+    its residue class — useless for a dedup funnel), and every doc ends
+    with a stopword suffix so the Gopher gate's stopword_ratio is
+    satisfiable. Deterministic in doc_id alone.
+    """
+    i = F.col("id")
+    n_words = (F.lit(48) + F.pmod(i, F.lit(13))).cast("int")
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_words - 1),
+            # inner pmod keeps the product < 2^52 (ANSI long-overflow);
+            # the j*j term prevents shift-aligned token runs between docs
+            lambda j: F.concat(
+                F.lit("w"),
+                F.pmod(
+                    F.pmod(i * 524287 + j * j + j, F.lit(1048573))
+                    * 2654435761,
+                    F.lit(1048573),
+                ).cast("string"),
+            ),
+        ),
+        " ",
+    )
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 11 == 0, F.lit("zz zz zz")
+        ).otherwise(
+            F.concat_ws(
+                " ", body,
+                # concat_ws skips NULLs, so clean docs get no extra token
+                F.when(F.col("id") % 13 == 0,
+                       F.lit(_CONTAM_PHRASE)).otherwise(F.lit(None)),
+                F.lit("the of and in to is it for on a"),
+            )
+        ).alias("text"),
+    )
+    toks = F.split(F.col("text"), " ")
+    off = n * 10
+    exact = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + off).alias("doc_id"), "text")
+    mut = base.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 2 * off).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(0))), " "
+        ).alias("text"))
+    return base.unionByName(exact).unionByName(mut)

@@ -1,0 +1,82 @@
+"""spark-submit entry: full training-corpus preparation.
+
+    spark-submit --master local[N] --driver-memory 8g \
+        --py-files dist/geoutils_spark.zip \
+        jobs/corpus_prep.py [--input /path/documents_parquet] \
+        [--benchmarks /path/bench_parquet] [--docs N] [--out /path]
+
+(--driver-memory matters in local mode: the default 1g heap OOMs in the
+LSH verify stage; cluster deployments size executors normally.)
+
+Chain (operators/corpus.py): quality gate + language-ID -> PII redaction
+-> exact dedup -> MinHash+LSH near-dedup -> benchmark decontamination ->
+deterministic train/val/test split -> parquet partitioned by split.
+
+With --docs N and no --input, synthesizes a self-contained smoke corpus
+(fixture pages' extracted text + planted exact copies, near-dup mutants,
+and benchmark-contaminated docs) so the run exercises every drop path.
+Prints one JSON line of per-stage survivor counts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default=None)
+    ap.add_argument("--benchmarks", default=None,
+                    help="eval-suite parquet (text column); default: "
+                    "a sample of the corpus (self-contamination smoke)")
+    ap.add_argument("--docs", type=int, default=20000)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--min-est-jaccard", type=float, default=0.5)
+    ap.add_argument("--min-jaccard", type=float, default=0.7)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.builder.appName("geoutils_corpus_prep").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from geoutils_spark.operators.corpus import prepare_corpus
+
+    t0 = time.time()
+    if args.input:
+        docs = spark.read.parquet(args.input).select("doc_id", "text")
+    else:
+        from geoutils_spark.sources import fixtures
+
+        docs = fixtures.corpus_smoke_df(spark, args.docs)
+
+    if args.benchmarks:
+        benchmarks = spark.read.parquet(args.benchmarks).select("text")
+    else:
+        from geoutils_spark.sources import fixtures
+
+        benchmarks = fixtures.benchmark_docs_df(spark)
+
+    kept, counts = prepare_corpus(
+        docs, benchmarks,
+        min_est_jaccard=args.min_est_jaccard,
+        min_jaccard=args.min_jaccard)
+
+    if args.out:
+        kept.write.mode("overwrite").partitionBy("split").parquet(args.out)
+        counts["written"] = spark.read.parquet(args.out).count()
+
+    counts["splits"] = {
+        r["split"]: r["n"]
+        for r in kept.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    counts["sec"] = round(time.time() - t0, 2)
+    print(json.dumps(counts))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
