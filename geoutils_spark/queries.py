@@ -3505,3 +3505,123 @@ def web_snapshot_diff(spark, sf_dir):
         .when(F.col("h_a") == F.col("h_b"), F.lit("unchanged"))
         .otherwise(F.lit("changed")).alias("status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus preparation (operators/corpus.py) — the full chain as ONE
+# oracle-checked query: every stage that has its own oracle-green query above
+# (quality gate, PII redact, exact dedup, LSH near-dedup, decontamination,
+# hash split) composed in pipeline order, including the iterative component
+# closure, which the oracle reproduces with a DuckDB recursive CTE.
+# ---------------------------------------------------------------------------
+
+
+def _corpus_prep_sql() -> str:
+    qs = TA.quality_sqls("text")
+    toks = TA.tokens_sql("text")
+    n_pii = " + ".join(f"({e})" for e in PII.pii_count_sqls("text").values())
+    pairs = DD.minhash_lsh_pairs_sql("e", min_est_jaccard=0.5)
+    return f"""
+    WITH RECURSIVE salted AS ({_DOCS_PII_SQL}),
+    corpus AS (
+      SELECT doc_id, text FROM salted
+      UNION ALL
+      SELECT doc_id + {_MUTANT_OFFSET} AS doc_id,
+             array_to_string(w[1:GREATEST(len(w)-3, 0)], ' ') AS text
+      FROM (SELECT doc_id, string_split(text, ' ') AS w
+            FROM salted WHERE doc_id % 3 = 0)
+    ),
+    q AS (
+      SELECT doc_id, text, {TA.langid_sql(toks)} AS lang_pred
+      FROM corpus
+      WHERE {qs['n_tokens']} >= 20
+        AND {qs['stopword_ratio']} >= {_dbl(0.01)}
+        AND {qs['mark_ratio']} <= {_dbl(0.2)}
+    ),
+    r AS (
+      SELECT doc_id, {PII.redact_sql('text')} AS text, lang_pred,
+             CAST({n_pii} AS INT) AS n_pii
+      FROM q
+    ),
+    eh AS (SELECT *, md5(text) AS __h FROM r),
+    e AS (
+      SELECT eh.doc_id, eh.text, eh.lang_pred, eh.n_pii
+      FROM eh JOIN (SELECT __h, MIN(doc_id) AS doc_id FROM eh GROUP BY __h) k
+        ON eh.__h = k.__h AND eh.doc_id = k.doc_id
+    ),
+    vpairs AS (
+      SELECT id_a, id_b FROM ({pairs}) WHERE exact_jaccard >= 0.7
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM vpairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM vpairs
+    ),
+    reach AS (
+      SELECT a AS node, a AS lbl FROM edges
+      UNION
+      SELECT g.b AS node, rc.lbl FROM reach rc JOIN edges g ON rc.node = g.a
+    ),
+    comp AS (SELECT node, MIN(lbl) AS comp_id FROM reach GROUP BY node),
+    nd AS (
+      SELECT e.* FROM e
+      WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> comp_id)
+    ),
+    bgrams AS (
+      SELECT DISTINCT UNNEST({TA.word_shingles_sql('text', 8)}) AS gram
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    hits AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, UNNEST({TA.word_shingles_sql('text', 8)}) AS gram
+        FROM nd
+      ) cg JOIN bgrams USING (gram)
+    ),
+    survivors AS (
+      SELECT * FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+    )
+    SELECT doc_id, lang_pred, n_pii,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+    FROM (
+      SELECT *, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) % 100 AS bucket
+      FROM survivors
+    )
+    """
+
+
+@register("corpus_prep_funnel", _corpus_prep_sql())
+def corpus_prep_funnel(spark, sf_dir):
+    """The whole training-corpus preparation chain (operators/corpus.py) as
+    one oracle-checked query: PII-salted documents + planted near-dup
+    mutants -> quality gate + language-ID -> redaction (with per-doc PII
+    counts) -> exact dedup (min-id keeper) -> MinHash+LSH near-dedup with
+    transitive-closure min-id keepers -> 8-gram benchmark decontamination
+    (suite = raw documents with doc_id % 97 == 0) -> deterministic hash
+    split. The oracle replays every stage in DuckDB, including the
+    iterative closure via a recursive CTE — two independent
+    implementations of the complete pipeline, compared row-for-row."""
+    from geoutils_spark.operators import corpus as CP
+
+    salted = _docs_with_pii(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    mut = salted.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + _MUTANT_OFFSET).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(0))), " "
+        ).alias("text"),
+    )
+    docs = salted.unionByName(mut)
+    bench = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 97 == 0).select("text")
+    )
+    d = CP.quality_gate(docs)
+    d = CP.redact(d)
+    d = CP.dedup_exact(d)
+    d = CP.dedup_near(d)
+    d = CP.decontaminate(d, bench)
+    d = CP.hash_split(d)
+    return d.select("doc_id", "lang_pred",
+                    F.col("n_pii").cast("int").alias("n_pii"), "split")
