@@ -77,6 +77,7 @@ EXTRA = [
     "text_lm_score",
     "text_length_quantiles",
     "web_snapshot_diff",
+    "corpus_prep_funnel",
 ]
 
 
