@@ -3,7 +3,7 @@
     spark-submit --master local[N] --driver-memory 8g \
         --py-files dist/geoutils_spark.zip \
         jobs/corpus_prep.py [--input /path/documents_parquet] \
-        [--benchmarks /path/bench_parquet] [--docs N] [--out /path]
+        [--benchmarks /path/bench_parquet] [--docs N] [--out /path] [--resume]
 
 (--driver-memory matters in local mode: the default 1g heap OOMs in the
 LSH verify stage; cluster deployments size executors normally.)
@@ -11,6 +11,13 @@ LSH verify stage; cluster deployments size executors normally.)
 Chain (operators/corpus.py): quality gate + language-ID -> PII redaction
 -> exact dedup -> MinHash+LSH near-dedup -> benchmark decontamination ->
 deterministic train/val/test split -> parquet partitioned by split.
+
+--out writes hive-partitioned by split through
+plans.manifests.write_with_manifests: one lineage manifest per split
+partition (row counts + the job config and per-stage survivor counts that
+produced it); --resume anti-joins the completed-partition set so an
+interrupted run recomputes only missing splits (north-rule checkpoint
+resume, same pattern as jobs/spatial_pipeline.py).
 
 With --docs N and no --input, synthesizes a self-contained smoke corpus
 (fixture pages' extracted text + planted exact copies, near-dup mutants,
@@ -33,6 +40,9 @@ def main() -> None:
                     "a sample of the corpus (self-contamination smoke)")
     ap.add_argument("--docs", type=int, default=20000)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--resume", action="store_true",
+                    help="skip output splits already recorded complete in "
+                    "the per-partition lineage manifests under --out")
     ap.add_argument("--min-est-jaccard", type=float, default=0.5)
     ap.add_argument("--min-jaccard", type=float, default=0.7)
     args = ap.parse_args()
@@ -66,8 +76,20 @@ def main() -> None:
         min_jaccard=args.min_jaccard)
 
     if args.out:
-        kept.write.mode("overwrite").partitionBy("split").parquet(args.out)
-        counts["written"] = spark.read.parquet(args.out).count()
+        from geoutils_spark.plans.manifests import write_with_manifests
+
+        summary = write_with_manifests(
+            kept, args.out, "split", resume=args.resume,
+            lineage={
+                "job": "corpus_prep",
+                "input": args.input or f"corpus_smoke_df({args.docs})",
+                "benchmarks": args.benchmarks or "benchmark_docs_df",
+                "min_est_jaccard": args.min_est_jaccard,
+                "min_jaccard": args.min_jaccard,
+                "stage_counts": counts,
+            })
+        counts["written"] = summary["rows_written"]
+        counts["splits_skipped"] = summary["partitions_skipped"]
 
     counts["splits"] = {
         r["split"]: r["n"]

@@ -52,6 +52,31 @@ def test_redact_counts_and_masks(spark):
     assert out[2]["n_pii"] == 0 and out[2]["text"] == "clean text"
 
 
+def test_corpus_write_resume_by_split(spark, tmp_path):
+    """The job's --out path: split partitions get lineage manifests
+    (carrying the stage counts that produced them) and a resumed run
+    skips every completed split (jobs/corpus_prep.py)."""
+    from geoutils_spark.plans import manifests as M
+
+    docs = fixtures.corpus_smoke_df(spark, 400)
+    kept, counts = CP.prepare_corpus(docs, fixtures.benchmark_docs_df(spark))
+    out = str(tmp_path / "corpus")
+    summary = M.write_with_manifests(
+        kept, out, "split", lineage={"job": "corpus_prep",
+                                     "stage_counts": counts})
+    done = M.read_manifests(out)
+    assert set(done) == {r["split"] for r in kept.select("split").distinct()
+                         .collect()}
+    assert sum(m["n_rows"] for m in done.values()) == counts[
+        "after_decontaminate"] == summary["rows_written"]
+    assert done["train"]["lineage"]["stage_counts"]["input"] == counts["input"]
+
+    again = M.write_with_manifests(kept, out, "split", resume=True)
+    assert again["partitions_written"] == 0
+    assert again["partitions_skipped"] == len(done)
+    assert spark.read.parquet(out).count() == counts["after_decontaminate"]
+
+
 def test_hash_split_stable_under_growth(spark):
     small = spark.range(500).select(F.col("id").alias("doc_id"))
     big = spark.range(1500).select(F.col("id").alias("doc_id"))
