@@ -78,6 +78,7 @@ EXTRA = [
     "text_length_quantiles",
     "web_snapshot_diff",
     "corpus_prep_funnel",
+    "text_paragraph_dedup",
 ]
 
 

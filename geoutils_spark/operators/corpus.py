@@ -24,8 +24,11 @@ until the exact-dedup exchange.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from geoutils_spark.functions import pii as PII
 from geoutils_spark.functions import textanalysis as TA
@@ -79,6 +82,50 @@ def dedup_near(docs: DataFrame, id_col: str = "doc_id",
         .select(F.col("node").alias(id_col))
     )
     return docs.join(drop, id_col, "left_anti")
+
+
+def dedup_paragraphs(docs: DataFrame, sep: str = "\n",
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """C4-style global paragraph dedup: split each document on ``sep``,
+    keep only the globally-first occurrence (min ``(doc_id, position)``)
+    of every distinct non-empty paragraph, and reassemble each document's
+    surviving paragraphs in their original order. Documents left with no
+    paragraphs disappear from the output (C4 drops them too). Output adds
+    ``n_paras`` (surviving-paragraph count); other input columns are not
+    carried (join back on ``id_col`` if needed).
+
+    Plan: posexplode -> ONE hash-partitioned window (row_number over
+    md5(paragraph), ordered by (doc_id, pos)) -> groupBy(doc_id) rebuild.
+    Two exchanges, both on uniform keys (md5 of paragraph bytes; doc id);
+    total shuffled bytes ~= corpus size once per exchange — the same cost
+    class as the exact-dedup stage, with no candidate blowup because
+    paragraph identity is exact, not approximate.
+    """
+    paras = docs.select(
+        F.col(id_col),
+        # re.escape: F.split takes a regex; sep is meant literally
+        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias(
+            "pos", "para"),
+    ).filter(F.col("para") != "")
+    w = (
+        Window.partitionBy(F.md5(F.col("para").cast("binary")))
+        .orderBy(id_col, "pos")
+    )
+    firsts = (
+        paras.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    return firsts.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_paras"),
+    )
 
 
 def decontaminate(docs: DataFrame, benchmarks: DataFrame,

@@ -3625,3 +3625,38 @@ def corpus_prep_funnel(spark, sf_dir):
     d = CP.hash_split(d)
     return d.select("doc_id", "lang_pred",
                     F.col("n_pii").cast("int").alias("n_pii"), "split")
+
+
+@register("text_paragraph_dedup", """
+    WITH paras AS (
+        SELECT doc_id,
+               generate_subscripts(parts, 1) AS pos,
+               unnest(parts) AS para
+        FROM (SELECT doc_id, string_split(text, ' the ') AS parts
+              FROM documents)
+    ),
+    firsts AS (
+        SELECT doc_id, pos, para,
+               row_number() OVER (PARTITION BY para
+                                  ORDER BY doc_id, pos) AS rn
+        FROM paras WHERE para <> ''
+    )
+    SELECT doc_id,
+           string_agg(para, ' the ' ORDER BY pos) AS text,
+           count(*) AS n_paras
+    FROM firsts WHERE rn = 1
+    GROUP BY doc_id
+""")
+def text_paragraph_dedup(spark, sf_dir):
+    """C4-style global paragraph dedup (operators/corpus.py::
+    dedup_paragraphs): documents split into segments, only the
+    globally-first occurrence of each distinct segment survives, docs
+    reassembled in original order (docs losing every segment vanish).
+    The documents fixture has no newlines, so ' the ' serves as the
+    separator — its small vocabulary makes cross-doc duplicate segments
+    common, giving the dedup real work. Oracle replays the same
+    first-occurrence window + ordered string_agg in DuckDB."""
+    from geoutils_spark.operators import corpus as CP
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return CP.dedup_paragraphs(d, sep=" the ")

@@ -77,6 +77,25 @@ def test_corpus_write_resume_by_split(spark, tmp_path):
     assert spark.read.parquet(out).count() == counts["after_decontaminate"]
 
 
+def test_dedup_paragraphs_global_first_occurrence(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha\nshared\nbeta"),
+         (2, "shared\ngamma"),
+         (3, "alpha\nbeta"),
+         (4, "shared"),
+         (5, "x\n\nx\ny")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in CP.dedup_paragraphs(df).collect()}
+    # doc 1 is first everywhere: survives whole
+    assert out[1]["text"] == "alpha\nshared\nbeta" and out[1]["n_paras"] == 3
+    # doc 2 loses 'shared' (doc 1 owns it), keeps order of the rest
+    assert out[2]["text"] == "gamma" and out[2]["n_paras"] == 1
+    # docs 3 and 4 lose every paragraph and vanish
+    assert 3 not in out and 4 not in out
+    # within-doc repeat dedups too; empty segments never count
+    assert out[5]["text"] == "x\ny" and out[5]["n_paras"] == 2
+
+
 def test_hash_split_stable_under_growth(spark):
     small = spark.range(500).select(F.col("id").alias("doc_id"))
     big = spark.range(1500).select(F.col("id").alias("doc_id"))
