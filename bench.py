@@ -79,6 +79,8 @@ EXTRA = [
     "web_snapshot_diff",
     "corpus_prep_funnel",
     "text_paragraph_dedup",
+    "web_bm25_topk",
+    "web_bloom_membership",
 ]
 
 

@@ -422,3 +422,109 @@ def log2_quantiles_sql(hist_sql: str, qs: tuple = (50, 90, 99)) -> str:
            n
     FROM hits WHERE rk = 1
     """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership sketch
+# ---------------------------------------------------------------------------
+# The membership member of the sketch family (distinct -> HLL/KMV,
+# frequency -> CM, quantiles -> log2-hist): the cross-crawl URL-dedup
+# primitive — build a bit array from one crawl's keys, probe another
+# crawl's keys without joining the two corpora. Positions are the first
+# ``hexd`` hex digits of a salted md5: EXACTLY uniform over 16^hexd bits
+# (no modulo bias), replayable in ANSI SQL. The filter is (word, bits)
+# rows — 32 bits per BIGINT word (DuckDB overflows a 1<<63 shift, and a
+# sign-free mask keeps the `=` membership compare trivially portable);
+# 16^hexd/32 words total (hexd=3 -> 4096 bits / 128 words). Cohorts merge
+# by word-wise bit_or — per-day filters fold into monthly without raw
+# keys. False positives are a deterministic function of the bit layout,
+# so both engines return the SAME false positives: the membership column
+# itself is oracle-checkable bit-for-bit. At 100 TB, size by the standard
+# m = -n ln(p)/ln(2)^2 rule (hexd=8 gives 4.3e9 bits for ~1e9 keys at
+# ~1.5% fpr with k=4); beyond that, shard into per-cohort filters keyed
+# by a key-range prefix and probe the matching shard.
+
+BLOOM_HASHES = 4
+BLOOM_HEXD = 3
+
+
+def bloom_addr_col(v: Column, j: int, hexd: int = BLOOM_HEXD) -> Column:
+    """(word, mask) address for hash row ``j``."""
+    h = F.md5(F.concat(F.lit(f"b{j}:"), v.cast("string")).cast("binary"))
+    pos = F.conv(F.substring(h, 1, hexd), 16, 10).cast("long")
+    return F.struct(
+        F.shiftrightunsigned(pos, 5).alias("word"),
+        # F.shiftleft only takes a literal shift; call the SQL builtin so
+        # the bit index can be a column
+        F.call_function("shiftleft", F.lit(1).cast("long"),
+                        (pos % 32).cast("int")).alias("mask"),
+    )
+
+
+def bloom_addr_sql(v: str, j: int, hexd: int = BLOOM_HEXD) -> tuple[str, str]:
+    pos = (f"CAST('0x' || substr(md5('b{j}:' || CAST({v} AS VARCHAR)),"
+           f" 1, {hexd}) AS BIGINT)")
+    return (f"({pos} // 32)", f"(CAST(1 AS BIGINT) << CAST({pos} % 32 AS INT))")
+
+
+def bloom_build(df: DataFrame, key: str, k: int = BLOOM_HASHES,
+                hexd: int = BLOOM_HEXD) -> DataFrame:
+    """The filter as (word, bits) rows — at most 16^hexd/32 of them.
+
+    Plan: a row-local generator fans each key into ``k`` addresses, the
+    bit_or hash aggregate partials-then-merges, and the exchange is
+    bounded by the filter size, not the data."""
+    addrs = F.array(*[bloom_addr_col(F.col(key), j, hexd) for j in range(k)])
+    return (
+        df.select(F.explode(addrs).alias("a"))
+        .groupBy(F.col("a.word").alias("word"))
+        .agg(F.expr("bit_or(a.mask)").cast("long").alias("bits"))
+    )
+
+
+def bloom_build_sql(table: str, key: str, k: int = BLOOM_HASHES,
+                    hexd: int = BLOOM_HEXD) -> str:
+    arms = "\nUNION ALL\n".join(
+        "SELECT {} AS word, {} AS mask FROM {}".format(
+            *bloom_addr_sql(key, j, hexd), table)
+        for j in range(k)
+    )
+    return (f"SELECT word, CAST(bit_or(mask) AS BIGINT) AS bits"
+            f" FROM ({arms}) GROUP BY word")
+
+
+def bloom_contains(sketch: DataFrame, probes: DataFrame, key: str,
+                   k: int = BLOOM_HASHES, hexd: int = BLOOM_HEXD) -> DataFrame:
+    """(key, in_bloom 0/1) per probe: 1 iff all ``k`` addressed bits are
+    set. The filter is tiny — broadcast it; probes never shuffle. A word
+    never written reads as 0 (bit clear)."""
+    addr = probes.select(
+        F.col(key),
+        F.explode(F.array(*[
+            bloom_addr_col(F.col(key), j, hexd) for j in range(k)
+        ])).alias("a"),
+    ).select(key, F.col("a.word").alias("word"), F.col("a.mask").alias("mask"))
+    return (
+        addr.join(F.broadcast(sketch), "word", "left")
+        .fillna({"bits": 0})
+        .groupBy(key)
+        .agg(F.min(
+            ((F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"))
+             .cast("long"))).cast("long").alias("in_bloom"))
+    )
+
+
+def bloom_contains_sql(sketch_sql: str, probes_table: str, key: str,
+                       k: int = BLOOM_HASHES, hexd: int = BLOOM_HEXD) -> str:
+    arms = "\nUNION ALL\n".join(
+        "SELECT {k}, {w} AS word, {m} AS mask FROM {t}".format(
+            k=key, w=w, m=m, t=probes_table)
+        for w, m in (bloom_addr_sql(key, j, hexd) for j in range(k))
+    )
+    return f"""
+      SELECT {key},
+             CAST(MIN(CASE WHEN (COALESCE(bits, 0) & mask) = mask
+                           THEN 1 ELSE 0 END) AS BIGINT) AS in_bloom
+      FROM ({arms}) a LEFT JOIN ({sketch_sql}) s USING (word)
+      GROUP BY {key}
+    """

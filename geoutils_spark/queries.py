@@ -3660,3 +3660,52 @@ def text_paragraph_dedup(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return CP.dedup_paragraphs(d, sep=" the ")
+
+
+from geoutils_spark.operators import retrieval as RT  # noqa: E402
+
+_BM25_QUERIES = [
+    (1, "fast query join"),
+    (2, "table scan filter value"),
+    (3, "customer order line"),
+    (4, "hash merge window batch"),
+    (5, "spark data row"),
+]
+_BM25_QUERIES_SQL = "(SELECT * FROM (VALUES {}) AS q(query_id, qtext))".format(
+    ", ".join(f"(CAST({i} AS BIGINT), '{t}')" for i, t in _BM25_QUERIES))
+
+
+@register("web_bm25_topk", RT.bm25_sql("documents", _BM25_QUERIES_SQL, k=10))
+def web_bm25_topk(spark, sf_dir):
+    """BM25 top-10 retrieval (operators/retrieval.py): five literal
+    queries over the documents corpus, scored with integer-quantized
+    Okapi BM25 (k1=1.2, b=0.75, linear Robertson idf — no ln) so the
+    fixed-point BIGINT score is partitioning-invariant and the DuckDB
+    oracle replays it bit-for-bit. Plan: one (doc_id, term) postings agg
+    with map-side combine, a vocab-sized df agg over it, the broadcast
+    query-term join filtering postings BEFORE the per-(query, doc)
+    exchange, and a per-query top-k window over the tiny scored set."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    q = spark.createDataFrame(_BM25_QUERIES, ["query_id", "qtext"]) \
+        .select(F.col("query_id").cast("long").alias("query_id"), "qtext")
+    return RT.bm25_topk(d, q, k=10)
+
+
+_BLOOM_CRAWL_A = "(SELECT doc_id FROM documents WHERE doc_id % 2 = 0)"
+
+@register("web_bloom_membership", SK.bloom_contains_sql(
+    SK.bloom_build_sql(_BLOOM_CRAWL_A, "doc_id"),
+    "(SELECT doc_id FROM documents)", "doc_id"))
+def web_bloom_membership(spark, sf_dir):
+    """Cross-crawl Bloom membership (sketches.py): build a 4096-bit
+    4-hash Bloom filter over crawl A's keys (the even doc ids), probe
+    every key — the URL-dedup primitive that lets a new crawl skip a
+    join against 100 TB of history. Bit positions are exact md5-hex
+    slices, words carry 32 bits each, so the filter layout — including
+    its false positives — is a deterministic function of the keys and
+    the DuckDB oracle reproduces the membership column bit-for-bit.
+    Plan: filter-size-bounded bit_or agg (map-side combine), broadcast
+    filter join onto probes; neither corpus shuffles."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    crawl_a = d.filter(F.col("doc_id") % 2 == 0)
+    return SK.bloom_contains(SK.bloom_build(crawl_a, "doc_id"), d, "doc_id")

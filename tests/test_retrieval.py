@@ -1,0 +1,83 @@
+"""BM25 retrieval (operators/retrieval.py): hand-checkable ranking
+semantics on a tiny corpus — tf monotonicity, idf (rare beats common),
+length normalization, OOV behavior, stopword pruning."""
+
+from geoutils_spark.operators import retrieval as RT
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _queries(spark, rows):
+    return spark.createDataFrame(rows, ["query_id", "qtext"])
+
+
+def _scores(df):
+    return {(r["query_id"], r["doc_id"]): r["score"] for r in df.collect()}
+
+
+def test_tf_monotone_same_length(spark):
+    # same dl, more occurrences of the query term -> strictly higher score
+    docs = _docs(spark, [
+        (1, "apple pear plum kiwi"),
+        (2, "apple apple plum kiwi"),
+        (3, "apple apple apple kiwi"),
+    ])
+    q = _queries(spark, [(1, "apple")])
+    s = _scores(RT.bm25_scores(docs, q))
+    assert s[(1, 3)] > s[(1, 2)] > s[(1, 1)]
+
+
+def test_idf_rare_term_beats_common(spark):
+    # 'rare' appears in 1 doc, 'common' in all 4: at equal tf and dl the
+    # rare-term doc must outscore the common-term doc
+    docs = _docs(spark, [
+        (1, "rare common pad pad"),
+        (2, "common word pad pad"),
+        (3, "common word pad pad"),
+        (4, "common word pad pad"),
+    ])
+    q = _queries(spark, [(1, "rare"), (2, "common")])
+    s = _scores(RT.bm25_scores(docs, q))
+    assert s[(1, 1)] > s[(2, 1)]
+
+
+def test_length_normalization(spark):
+    # equal tf: the shorter document scores higher
+    docs = _docs(spark, [
+        (1, "apple pad"),
+        (2, "apple pad pad pad pad pad pad pad"),
+    ])
+    q = _queries(spark, [(1, "apple")])
+    s = _scores(RT.bm25_scores(docs, q))
+    assert s[(1, 1)] > s[(1, 2)]
+
+
+def test_oov_and_topk_shape(spark):
+    docs = _docs(spark, [(1, "alpha beta"), (2, "beta gamma"),
+                         (3, "gamma delta")])
+    q = _queries(spark, [(1, "zz yy"), (2, "beta")])
+    top = RT.bm25_topk(docs, q, k=5).collect()
+    # OOV-only query matches nothing; 'beta' matches docs 1 and 2
+    assert {r["query_id"] for r in top} == {2}
+    got = [(r["rank"], r["doc_id"]) for r in sorted(top, key=lambda r: r["rank"])]
+    assert [d for _, d in got] == [1, 2] or [d for _, d in got] == [2, 1]
+    # multi-term sum: n_terms counts matched distinct terms
+    q2 = _queries(spark, [(9, "alpha beta")])
+    rows = {r["doc_id"]: r for r in RT.bm25_scores(docs, q2).collect()}
+    assert rows[1]["n_terms"] == 2 and rows[2]["n_terms"] == 1
+    assert rows[1]["score"] > rows[2]["score"]
+
+
+def test_max_df_prunes_stopwords(spark):
+    docs = _docs(spark, [
+        (1, "the apple"), (2, "the pear"), (3, "the plum"), (4, "the kiwi"),
+    ])
+    q = _queries(spark, [(1, "the apple")])
+    full = _scores(RT.bm25_scores(docs, q))
+    pruned = RT.bm25_scores(docs, q, max_df_frac=0.5)
+    pd = {r["doc_id"]: r for r in pruned.collect()}
+    # 'the' (df=4/4) is pruned: only doc 1 matches, via 'apple' alone
+    assert set(pd) == {1} and pd[1]["n_terms"] == 1
+    assert len(full) == 4  # unpruned: every doc matched 'the'

@@ -175,3 +175,45 @@ def test_log2_hist_merge_is_binwise_sum(spark):
         .select("bin", "cnt", "lo", "width")
     )
     assert sorted(map(tuple, both.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_bloom_no_false_negatives_and_low_fpr(spark):
+    from pyspark.sql import functions as F
+    members = spark.range(300).select(F.col("id").alias("k"))
+    sk = SK.bloom_build(members, "k")
+    probes = spark.range(3000).select(F.col("id").alias("k"))
+    got = {r["k"]: r["in_bloom"] for r in
+           SK.bloom_contains(sk, probes, "k").collect()}
+    # every member found
+    assert all(got[i] == 1 for i in range(300))
+    # false-positive rate among the 2700 non-members stays near theory
+    # ((1-exp(-k*n/m))^k ~ 0.5% at n=300, m=4096, k=4); generous bound
+    fp = sum(got[i] for i in range(300, 3000))
+    assert fp / 2700 < 0.05
+
+def test_bloom_cohort_merge_is_bit_or(spark):
+    from pyspark.sql import functions as F
+    a = spark.range(0, 100).select(F.col("id").alias("k"))
+    b = spark.range(100, 200).select(F.col("id").alias("k"))
+    both = spark.range(0, 200).select(F.col("id").alias("k"))
+    merged = (
+        SK.bloom_build(a, "k").union(SK.bloom_build(b, "k"))
+        .groupBy("word").agg(F.expr("bit_or(bits)").cast("long").alias("bits"))
+    )
+    direct = SK.bloom_build(both, "k")
+    assert ({(r["word"], r["bits"]) for r in merged.collect()}
+            == {(r["word"], r["bits"]) for r in direct.collect()})
+
+def test_bloom_masks_fit_positive_long(spark):
+    # 32-bit masks inside BIGINT words: every mask is positive and the
+    # word index stays inside 16^hexd/32
+    from pyspark.sql import functions as F
+    members = spark.range(5000).select(F.col("id").alias("k"))
+    addr = members.select(
+        F.explode(F.array(*[SK.bloom_addr_col(F.col("k"), j)
+                            for j in range(SK.BLOOM_HASHES)])).alias("a"))
+    stats = addr.agg(
+        F.min("a.mask").alias("mn"), F.max("a.mask").alias("mx"),
+        F.max("a.word").alias("mw")).collect()[0]
+    assert stats["mn"] >= 1 and stats["mx"] <= 1 << 31
+    assert stats["mw"] < (16 ** SK.BLOOM_HEXD) // 32
