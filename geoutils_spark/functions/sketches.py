@@ -495,36 +495,54 @@ def bloom_build_sql(table: str, key: str, k: int = BLOOM_HASHES,
 
 def bloom_contains(sketch: DataFrame, probes: DataFrame, key: str,
                    k: int = BLOOM_HASHES, hexd: int = BLOOM_HEXD) -> DataFrame:
-    """(key, in_bloom 0/1) per probe: 1 iff all ``k`` addressed bits are
-    set. The filter is tiny — broadcast it; probes never shuffle. A word
-    never written reads as 0 (bit clear)."""
-    addr = probes.select(
-        F.col(key),
-        F.explode(F.array(*[
-            bloom_addr_col(F.col(key), j, hexd) for j in range(k)
-        ])).alias("a"),
-    ).select(key, F.col("a.word").alias("word"), F.col("a.mask").alias("mask"))
-    return (
-        addr.join(F.broadcast(sketch), "word", "left")
-        .fillna({"bits": 0})
-        .groupBy(key)
-        .agg(F.min(
-            ((F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"))
-             .cast("long"))).cast("long").alias("in_bloom"))
-    )
+    """One row per probe row with ``in_bloom`` 0/1: 1 iff all ``k``
+    addressed bits are set. A word never written reads as 0 (bit clear).
+
+    Plan: ``k`` chained broadcast LEFT joins of the (tiny) filter, one per
+    hash row, then a row-local AND — ZERO exchanges on the probe side
+    (the explode+regroup alternative re-shuffles the whole probe corpus
+    by key, which defeats the point of the filter at 100 TB). Input rows
+    pass through 1:1; dedupe probes first if ``key`` repeats.
+
+    The filter build feeds all ``k`` joins as IDENTICAL (alias-only, no
+    per-side rename) subplans: a rename Project would be pushed below the
+    build exchange by Catalyst and break canonical equality, but aliased
+    sides canonicalize equal, so AQE stage reuse executes the build —
+    including the history-corpus scan — exactly once (verified: the whole
+    query runs in 5 stages, one of them the build shuffle, not 4)."""
+    shared = sketch
+    out = probes
+    hits = []
+    for j in range(k):
+        a = bloom_addr_col(F.col(key), j, hexd)
+        out = out.withColumn(f"__m{j}", a["mask"]).withColumn(f"__w{j}",
+                                                              a["word"])
+        side = shared.alias(f"__s{j}")
+        out = out.join(F.broadcast(side),
+                       F.col(f"__s{j}.word") == F.col(f"__w{j}"), "left")
+        hits.append(
+            (F.coalesce(F.col(f"__s{j}.bits"), F.lit(0).cast("long"))
+             .bitwiseAND(F.col(f"__m{j}")) == F.col(f"__m{j}")))
+    all_hit = hits[0]
+    for h in hits[1:]:
+        all_hit = all_hit & h
+    return out.select(F.col(key), all_hit.cast("long").alias("in_bloom"))
 
 
 def bloom_contains_sql(sketch_sql: str, probes_table: str, key: str,
                        k: int = BLOOM_HASHES, hexd: int = BLOOM_HEXD) -> str:
-    arms = "\nUNION ALL\n".join(
-        "SELECT {k}, {w} AS word, {m} AS mask FROM {t}".format(
-            k=key, w=w, m=m, t=probes_table)
-        for w, m in (bloom_addr_sql(key, j, hexd) for j in range(k))
-    )
+    """Twin of the join-form membership test: one LEFT join per hash row
+    against the filter, AND of the bit tests, one output row per probe."""
+    addrs = [bloom_addr_sql(key, j, hexd) for j in range(k)]
+    joins = "\n".join(
+        f"LEFT JOIN ({sketch_sql}) s{j} ON s{j}.word = {w}"
+        for j, (w, _) in enumerate(addrs))
+    cond = " AND ".join(
+        f"(COALESCE(s{j}.bits, 0) & {m}) = {m}"
+        for j, (_, m) in enumerate(addrs))
     return f"""
-      SELECT {key},
-             CAST(MIN(CASE WHEN (COALESCE(bits, 0) & mask) = mask
-                           THEN 1 ELSE 0 END) AS BIGINT) AS in_bloom
-      FROM ({arms}) a LEFT JOIN ({sketch_sql}) s USING (word)
-      GROUP BY {key}
+      SELECT p.{key},
+             CAST(CASE WHEN {cond} THEN 1 ELSE 0 END AS BIGINT) AS in_bloom
+      FROM {probes_table} p
+      {joins}
     """
