@@ -84,6 +84,38 @@ EXTRA = [
 ]
 
 
+def _cpu_probe() -> dict:
+    """Same-window pure-CPU health probe, embedded in the artifact so a
+    throttled-host BENCH_r{N}.json is self-diagnosing (VERDICT r3 required
+    forensic cross-referencing of BENCH/RUNS.md to adjudicate a phantom
+    regression). Reuses the md5 kernel from tools/scaling_bench.py:
+
+    * ``probe_sec_32``: best-of-3 wall for 32 independent md5 procs —
+      an absolute host-health number comparable across rounds (healthy
+      window on this VM: ~1.0-1.6 s; throttled evenings: 3-6 s+);
+    * ``probe_speedup_8_to_32`` / ``probe_ratio``: the hardware scaling
+      ceiling (ideal 4.0 / 1.0) that scaling runs normalize by.
+    """
+    import multiprocessing as mp
+
+    from tools.scaling_bench import _md5_work
+
+    def run(n: int) -> float:
+        t0 = time.time()
+        with mp.Pool(n) as p:
+            p.map(_md5_work, range(n))
+        return time.time() - t0
+
+    best = {n: min(run(n) for _ in range(3)) for n in (8, 32)}
+    speedup = 4.0 * best[8] / best[32]
+    return {
+        "probe_sec_32": round(best[32], 3),
+        "probe_sec_8": round(best[8], 3),
+        "probe_speedup_8_to_32": round(speedup, 3),
+        "probe_ratio": round(speedup / 4.0, 3),
+    }
+
+
 def _session():
     from pyspark.sql import SparkSession
 
@@ -148,22 +180,25 @@ def main():
     # converging 165s -> 68 -> 43 -> 25 over four reps (kernel-side page/
     # JIT warmup, sys-time dominated) — so warm up at full N_PAGES and use
     # enough reps that min-of-reps reads the converged value, with an
-    # early-stop once two consecutive reps agree within 10% (a warm
-    # machine needs 3 reps total, a cold one up to `reps`).
+    # early-stop once TWO consecutive reps fail to improve best by >10%
+    # (a warm machine needs ~4 reps total, a cold one up to `reps`).
     flagship_pipeline(spark, max(N_PAGES // 20, 10_000))
     flagship_pipeline(spark, N_PAGES)
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "6"))
 
     best = 1e18
+    rep_series: list[float] = []
+    stale = 0  # consecutive reps that failed to improve best by >10%
     for i in range(reps):
         t0 = time.time()
         n_matched, _total_text = flagship_pipeline(spark, N_PAGES)
         dt = time.time() - t0
-        improved = dt < best * 0.90
+        rep_series.append(round(dt, 3))
+        stale = 0 if dt < best * 0.90 else stale + 1
         best = min(best, dt)
-        if i >= 2 and not improved:
-            break  # plateau: the last rep stopped improving on best
+        if i >= 2 and stale >= 2:
+            break  # plateau: TWO consecutive reps stopped improving on best
     times["pipeline_spatial_join"] = round(best, 3)
     times["pipeline_pages_per_sec"] = round(N_PAGES / best, 1)
 
@@ -191,6 +226,7 @@ def main():
         sf = float(sf)
     except ValueError:
         sf = SF_DIR
+    probe = _cpu_probe()
     print(json.dumps({
         "metric": "spatial_join_tile_assignment_bench",
         "value": total,
@@ -199,7 +235,9 @@ def main():
         "sf": sf,
         "pages": N_PAGES,
         "pipeline_matched_rows": n_matched,
+        "pipeline_reps": rep_series,
         "cpus": CPUS,
+        **probe,
     }))
     spark.stop()
 

@@ -12,10 +12,13 @@ All builders are chained ``regexp_replace`` / ``regexp_count`` expressions:
 whole-stage codegen on the Spark side, no UDFs, no shuffle — the pass is
 embarrassingly row-local at any corpus size.
 
-Redaction order is fixed (email, then phone, then IP) and the classes are
-mutually non-overlapping by construction (emails contain '@', phones use
-dashes, IPs use dots), so counting before replacing equals counting on the
-original text.
+Redaction order is fixed (email, then phone, then IP). Counts are computed
+on the PRE-redaction text in both dialects, and the classes may overlap on
+adversarial inputs ('555-123-4567@x.example' counts n_email=1 AND
+n_phone=1 yet redacts to a single <EMAIL>), so the sum of class counts can
+exceed the number of masked spans. Both dialects count identically, so
+oracle parity holds; treat per-class counts as detector hit counts, not a
+span partition.
 """
 
 from __future__ import annotations

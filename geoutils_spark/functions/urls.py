@@ -23,8 +23,12 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # Shared pattern literals — single source of truth for both dialects.
-HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
-PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)"
+# RFC 3986 schemes are case-insensitive and real crawl data contains
+# HTTP:// — match both cases explicitly (no inline (?i): RE2/Java flag
+# scoping differs; an explicit class is identical in both engines).
+SCHEME_RE = r"[A-Za-z][A-Za-z0-9+.-]*"
+HOST_RE = rf"^{SCHEME_RE}://([^/?#]+)"
+PATH_RE = rf"^{SCHEME_RE}://[^/?#]+(/[^?#]*)"
 DOMAIN_RE = r"([^.]+\.[^.]+)$"          # registered domain ~ last two labels
 TLD_RE = r"\.([^.:]+)(:\d+)?$"          # last label of the host, port-safe
 SEGMENT_RE = r"/[^/]+"                  # one non-empty path segment
@@ -93,7 +97,7 @@ def url_normalize_col(url: Column) -> Column:
     scheme+host (path/query case is significant per RFC 3986), drop one
     trailing slash. Single codegen expression."""
     nofrag = F.regexp_replace(url, FRAGMENT_RE, "")
-    head = F.regexp_extract(nofrag, HOST_RE + "|^[a-z][a-z0-9+.-]*:", 0)
+    head = F.regexp_extract(nofrag, HOST_RE + f"|^{SCHEME_RE}:", 0)
     # lowercase only the scheme://host prefix, keep the rest byte-exact
     rest = F.substring(nofrag, F.length(head) + 1, F.lit(1 << 30))
     norm = F.concat(F.lower(head), rest)
@@ -102,7 +106,7 @@ def url_normalize_col(url: Column) -> Column:
 
 def url_normalize_sql(url: str) -> str:
     nofrag = f"regexp_replace({url}, '{FRAGMENT_RE}', '')"
-    head = f"regexp_extract({nofrag}, '{HOST_RE}|^[a-z][a-z0-9+.-]*:', 0)"
+    head = f"regexp_extract({nofrag}, '{HOST_RE}|^{SCHEME_RE}:', 0)"
     rest = f"substring({nofrag}, length({head}) + 1)"
     norm = f"concat(lower({head}), {rest})"
     return f"regexp_replace({norm}, '(.)/$', '\\1')"

@@ -431,6 +431,7 @@ def write_dae_meshes(meshes: DataFrame, out_dir: str,
     def write_partition(rows):
         handles = {}
         nodes = {}
+        body_ok = False
         try:
             for r in rows:
                 g = r[group_col]
@@ -488,20 +489,35 @@ def write_dae_meshes(meshes: DataFrame, out_dir: str,
                         f'        </triangles>\n'
                         f'      </mesh>\n'
                         f'    </geometry>\n')
+            body_ok = True
         finally:
+            # Footers ONLY on the success path: a task that dies
+            # mid-partition must leave a structurally INVALID (truncated)
+            # file, not a valid-looking silently-incomplete one. Handles
+            # always close, even when a footer write itself raises
+            # mid-dict (first such error re-raised after all closes).
+            footer_err = None
             for g, f in handles.items():
-                f.write('  </library_geometries>\n')
-                f.write('  <library_visual_scenes>\n'
-                        '    <visual_scene id="Scene" name="Scene">\n')
-                for wid in nodes[g]:
-                    f.write(f'      <node id="way_{wid}" name="way_{wid}">'
-                            f'<instance_geometry url="#way_{wid}-mesh"/>'
-                            f'</node>\n')
-                f.write('    </visual_scene>\n'
-                        '  </library_visual_scenes>\n'
-                        '  <scene><instance_visual_scene url="#Scene"/>'
-                        '</scene>\n'
-                        '</COLLADA>\n')
-                f.close()
+                try:
+                    if body_ok:
+                        f.write('  </library_geometries>\n')
+                        f.write('  <library_visual_scenes>\n'
+                                '    <visual_scene id="Scene" name="Scene">\n')
+                        for wid in nodes[g]:
+                            f.write(f'      <node id="way_{wid}" '
+                                    f'name="way_{wid}">'
+                                    f'<instance_geometry url="#way_{wid}-mesh"/>'
+                                    f'</node>\n')
+                        f.write('    </visual_scene>\n'
+                                '  </library_visual_scenes>\n'
+                                '  <scene><instance_visual_scene url="#Scene"/>'
+                                '</scene>\n'
+                                '</COLLADA>\n')
+                except Exception as e:  # noqa: BLE001 — refired below
+                    footer_err = footer_err or e
+                finally:
+                    f.close()
+            if body_ok and footer_err is not None:
+                raise footer_err
 
     df.foreachPartition(write_partition)

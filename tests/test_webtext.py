@@ -50,6 +50,16 @@ def test_url_depth(spark):
     assert _one(spark, "/", U.url_depth_col) == 0
 
 
+def test_url_uppercase_scheme(spark):
+    """RFC 3986 schemes are case-insensitive; crawl data contains HTTP://.
+    Host/path must parse and normalize must lowercase the scheme (r3
+    ADVICE item, urls.py SCHEME_RE)."""
+    assert _one(spark, "HTTP://H.Example/x", U.url_host_col) == "H.Example"
+    assert _one(spark, "HTTP://h.example/A/b", U.url_path_col) == "/A/b"
+    assert (_one(spark, "HTTPS://A.Example/Path#f", U.url_normalize_col)
+            == "https://a.example/Path")
+
+
 def test_url_normalize(spark):
     cases = {
         # fragment stripped, scheme+host lowercased, path case kept
