@@ -28,7 +28,6 @@ import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from geoutils_spark.functions import pii as PII
 from geoutils_spark.functions import textanalysis as TA
@@ -95,12 +94,26 @@ def dedup_paragraphs(docs: DataFrame, sep: str = "\n",
     ``n_paras`` (surviving-paragraph count); other input columns are not
     carried (join back on ``id_col`` if needed).
 
-    Plan: posexplode -> ONE hash-partitioned window (row_number over
-    md5(paragraph), ordered by (doc_id, pos)) -> groupBy(doc_id) rebuild.
-    Two exchanges, both on uniform keys (md5 of paragraph bytes; doc id);
+    Plan: posexplode -> groupBy(md5(paragraph)).agg(min_by(struct(doc_id,
+    pos, para), struct(doc_id, pos))) -> groupBy(doc_id) rebuild. Two
+    exchanges, both on uniform keys (md5 of paragraph bytes; doc id);
     total shuffled bytes ~= corpus size once per exchange — the same cost
     class as the exact-dedup stage, with no candidate blowup because
     paragraph identity is exact, not approximate.
+
+    Skew immunity (r3 VERDICT #2): first-occurrence selection is a
+    partial-aggregating ``min_by`` under a hash aggregate, NOT a
+    ``row_number`` window — a boilerplate paragraph duplicated 10^8-10^9
+    times ("Advertisement", cookie banners: exactly what C4 dedup exists
+    to kill) combines map-side down to one candidate per task before the
+    exchange, instead of landing every copy in ONE window task that must
+    buffer-and-sort the whole group (windows have no partial
+    aggregation). Struct comparison is lexicographic, so
+    ``min_by(payload, struct(doc_id, pos))`` reproduces ``ORDER BY
+    doc_id, pos`` exactly; (doc_id, pos) is unique per occurrence, so the
+    choice is total and deterministic. tests/test_corpus.py drives a
+    one-paragraph-in-every-doc fixture through it and asserts no Window
+    node in the plan.
     """
     paras = docs.select(
         F.col(id_col),
@@ -108,13 +121,13 @@ def dedup_paragraphs(docs: DataFrame, sep: str = "\n",
         F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias(
             "pos", "para"),
     ).filter(F.col("para") != "")
-    w = (
-        Window.partitionBy(F.md5(F.col("para").cast("binary")))
-        .orderBy(id_col, "pos")
-    )
     firsts = (
-        paras.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        paras.groupBy(F.md5(F.col("para").cast("binary")).alias("__h"))
+        .agg(F.min_by(F.struct(id_col, "pos", "para"),
+                      F.struct(id_col, "pos")).alias("__first"))
+        .select(F.col(f"__first.{id_col}").alias(id_col),
+                F.col("__first.pos").alias("pos"),
+                F.col("__first.para").alias("para"))
     )
     return firsts.groupBy(id_col).agg(
         F.array_join(
@@ -166,20 +179,74 @@ def hash_split(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def prepare_corpus(docs: DataFrame, benchmarks: DataFrame,
                    min_tokens: int = 20,
                    min_est_jaccard: float = 0.5,
-                   min_jaccard: float = 0.7) -> tuple[DataFrame, dict]:
+                   min_jaccard: float = 0.7,
+                   collect_counts: bool = True,
+                   storage_level: "StorageLevel | None" = None,
+                   ) -> tuple[DataFrame, dict]:
     """The full chain. Returns (final corpus with lang_pred/n_pii/split
-    columns, per-stage survivor counts). The counts force one action per
-    stage boundary — drop the dict consumer for a single-action run."""
-    counts: dict[str, int] = {"input": docs.count()}
-    d = quality_gate(docs, min_tokens=min_tokens)
-    counts["after_quality"] = d.count()
-    d = redact(d)
-    d = dedup_exact(d)
-    counts["after_exact_dedup"] = d.count()
-    d = dedup_near(d, min_est_jaccard=min_est_jaccard,
-                   min_jaccard=min_jaccard)
-    counts["after_near_dedup"] = d.count()
-    d = decontaminate(d, benchmarks)
-    counts["after_decontaminate"] = d.count()
-    d = hash_split(d)
-    return d, counts
+    columns, per-stage survivor counts).
+
+    Single-pass execution (r3 VERDICT/ADVICE item): every stage boundary
+    is ``persist()``-ed (default ``DISK_ONLY`` — the 100 TB choice: one
+    sequential spill write per stage instead of 2-5 full upstream
+    recomputations, and disk blocks are never evicted under memory
+    pressure the way deserialized memory blocks are). The boundary counts
+    then each read the PREVIOUS stage's cache and compute only their own
+    stage, so the quality gate / redaction / dedup tiers execute exactly
+    once per run — previously each ``count()`` plus the self-joins inside
+    ``dedup_exact``/``dedup_near``/``decontaminate`` re-ran the whole
+    upstream chain (~5x the scan at the last stage). The input count rides
+    an ``Observation`` BELOW the first persist: one scan serves both the
+    input counter and stage 1. tests/test_corpus.py asserts scan-once with
+    an accumulator probe.
+
+    ``collect_counts=False`` returns an empty dict and runs no boundary
+    counters; the near-dedup tier's own bounded internal actions (eager
+    localCheckpoint of the verified pair list, iterative closure) still
+    fire on construction, materializing the stage caches on the way — the
+    input is still scanned once (at most twice per partition if
+    dedup_exact's two concurrent map stages race on a cold cache).
+
+    Intermediate caches are released once their downstream neighbor is
+    materialized; the LAST stage stays persisted so the caller's write +
+    any follow-up aggregations reuse it (call ``.unpersist()`` on the
+    returned frame's source or ``spark.catalog.clearCache()`` when done).
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql.observation import Observation
+
+    if storage_level is None:
+        storage_level = StorageLevel.DISK_ONLY
+
+    counts: dict[str, int] = {}
+    obs_in = Observation() if collect_counts else None
+    if collect_counts:
+        docs = docs.observe(obs_in, F.count(F.lit(1)).alias("n_input"))
+
+    cached: list[DataFrame] = []
+
+    def boundary(df: DataFrame, key: str | None) -> DataFrame:
+        df = df.persist(storage_level)
+        if collect_counts and key is not None:
+            counts[key] = df.count()  # materializes this stage's cache
+        cached.append(df)
+        return df
+
+    # stage 1+2 share a boundary: both row-local, nothing between them
+    # branches, and redact is 1:1 so this count IS the after-quality count.
+    d = boundary(redact(quality_gate(docs, min_tokens=min_tokens)),
+                 "after_quality")
+    if collect_counts:
+        counts["input"] = int(obs_in.get["n_input"])
+    d = boundary(dedup_exact(d), "after_exact_dedup")
+    d = boundary(dedup_near(d, min_est_jaccard=min_est_jaccard,
+                            min_jaccard=min_jaccard), "after_near_dedup")
+    d = boundary(decontaminate(d, benchmarks), "after_decontaminate")
+    if collect_counts:
+        # stage order in the dict mirrors the funnel
+        counts = {k: counts[k] for k in (
+            "input", "after_quality", "after_exact_dedup",
+            "after_near_dedup", "after_decontaminate")}
+        for c in cached[:-1]:  # final stage stays cached for the caller
+            c.unpersist(blocking=False)
+    return hash_split(d), counts
