@@ -101,7 +101,10 @@ def bm25_scores(docs: DataFrame, queries: DataFrame,
 
     matched = (
         postings.join(F.broadcast(qterms), "term")
-        .join(dfreq, "term")
+        # df is vocab-sized post-agg (Heaps-sublinear): broadcasting it
+        # keeps the postings side exchange-free through BOTH joins —
+        # postings already paid their one corpus exchange at build time.
+        .join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
     )
     if max_df_frac is not None:

@@ -2393,10 +2393,12 @@ def text_tfidf_topterms(spark, sf_dir):
     inverse document frequency (linear N/df inverse — division is IEEE
     exact-rounded in both engines, unlike ln), top-5 per language.
     Plan: one explode feeding two hash aggs (tf keyed by (lang, term), df
-    keyed by term — both map-side combined), a term-keyed shuffle join
-    between two already-aggregated (small) sides, a broadcast scalar for N,
-    and a per-lang window over the tiny scored set. The explode output is
-    never joined or windowed raw."""
+    keyed by term — both map-side combined), the vocab-sized df table
+    BROADCAST onto tf (Heaps' law keeps natural-language vocab sublinear
+    in corpus size, so the post-agg table fits executors long after the
+    corpus doesn't; drop the hint only for unbounded token alphabets), a
+    broadcast scalar for N, and a per-lang window over the tiny scored
+    set. The explode output is never joined or windowed raw."""
     d = _t(spark, sf_dir, "documents")
     tok = d.select(
         "lang", "doc_id",
@@ -2406,7 +2408,7 @@ def text_tfidf_topterms(spark, sf_dir):
         F.countDistinct("doc_id").cast("long").alias("df"))
     n = d.agg(F.count("*").cast("long").alias("n_docs"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(n))
         .select(
             "lang", "term", "tf", "df",
@@ -3395,9 +3397,13 @@ def text_lm_score(spark, sf_dir):
     Scale shape: bigram expansion is row-local; both count tables are
     POST-AGG (vocabulary-sized, ≪ corpus) and join back on 60-bit md5
     fingerprints, not gram strings (~5x fewer shuffle bytes — the
-    dedup_shingle_coverage discipline); at 100 TB the count tables
-    broadcast when they fit, else the join keys are uniformly-hashed
-    fingerprints (no skew)."""
+    dedup_shingle_coverage discipline). Both count tables carry an
+    explicit BROADCAST hint: that removes the TWO corpus-wide exchanges
+    of the exploded bigram frame (once per join key) — the corpus side
+    never shuffles at all. Vocab grows sublinearly (Heaps), so the tables
+    fit executors far past the corpus; if an alphabet ever outgrows
+    broadcast, remove the hint and the fingerprint keys hash uniformly
+    (no skew)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     gram = F.explode(TA.word_ngrams_col(F.col("text"), 2)).alias("gram")
     b2 = d.select("doc_id", gram).select(
@@ -3413,7 +3419,7 @@ def text_lm_score(spark, sf_dir):
     cnt2 = b2.groupBy("gfp").agg(F.count("*").cast("long").alias("c2"))
     cnt1 = b2.groupBy("wfp").agg(F.count("*").cast("long").alias("c1"))
     per = (
-        b2.join(cnt2, "gfp").join(cnt1, "wfp")
+        b2.join(F.broadcast(cnt2), "gfp").join(F.broadcast(cnt1), "wfp")
         .select("doc_id", F.expr(f"(c2 * {_LM_SCALE}) div c1").alias("p"))
     )
     return per.groupBy("doc_id").agg(

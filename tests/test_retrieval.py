@@ -81,3 +81,18 @@ def test_max_df_prunes_stopwords(spark):
     # 'the' (df=4/4) is pruned: only doc 1 matches, via 'apple' alone
     assert set(pd) == {1} and pd[1]["n_terms"] == 1
     assert len(full) == 4  # unpruned: every doc matched 'the'
+
+
+def test_vocab_tables_broadcast(spark):
+    """The vocab-sized post-agg count tables join via BroadcastHashJoin
+    (r3 VERDICT #5): the corpus-sized side must not shuffle for them —
+    bm25's df table here; text_lm_score / text_tfidf_topterms asserted in
+    test_textanalysis.py."""
+    docs = _docs(spark, [(1, "a b c a"), (2, "b c d"), (3, "c d e f")])
+    qs = _queries(spark, [(10, "c d")])
+    plan = RT.bm25_topk(docs, qs, k=2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # qterms + dfreq + stats: at least three broadcast joins, and the df
+    # join specifically must not appear as a SortMergeJoin on term
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -70,3 +70,17 @@ def test_subtoken_counts(docs):
     assert r.a == 7  # numbers, and, mixed, with, words, punct, yes
     assert r.d == 2  # 123, 456
     assert r.m == 3  # comma, bang, period
+
+
+def test_lm_and_tfidf_vocab_tables_broadcast(spark):
+    """text_lm_score / text_tfidf_topterms join their vocab-sized count
+    tables via BroadcastHashJoin (r3 VERDICT #5): the exploded corpus
+    side must never shuffle for a count-table join — before the hint it
+    exchanged corpus-wide once per join key."""
+    from geoutils_spark import queries as Q
+
+    for name in ("text_lm_score", "text_tfidf_topterms"):
+        df = Q.SPARK_QUERIES[name](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, (name, plan)
+        assert "SortMergeJoin" not in plan, (name, plan)
