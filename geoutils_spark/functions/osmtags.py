@@ -22,14 +22,19 @@ METRES_PER_LEVEL = 2.5  # osmfeature.cpp:16
 DEFAULT_LEVELS = 3      # osmfeature.cpp:17-18
 
 
-def height_col(tags: Column) -> Column:
+def height_col(tags: Column, default_m: float | None = None) -> Column:
     """try_cast mirrors the reference's atof-with-fallback (bad parse -> next
-    rule, osmfeature.cpp:27-49)."""
+    rule, osmfeature.cpp:27-49). ``default_m`` is the reference's ``-f``
+    fixed-height flag (main.cpp:81-83): the fallback used when neither
+    ``height`` nor ``building:levels`` parses; ``None`` keeps the built-in
+    3-level x 2.5 m cascade default (osmfeature.cpp:16-18)."""
+    if default_m is None:
+        default_m = DEFAULT_LEVELS * METRES_PER_LEVEL
     return F.coalesce(
         F.try_element_at(tags, F.lit("height")).try_cast("double"),
         F.try_element_at(tags, F.lit("building:levels")).try_cast("double")
         * F.lit(METRES_PER_LEVEL),
-        F.lit(DEFAULT_LEVELS * METRES_PER_LEVEL),
+        F.lit(float(default_m)),
     )
 
 

@@ -37,6 +37,18 @@ MESH_SCHEMA = T.StructType([
     T.StructField("faces", T.ArrayType(T.ArrayType(T.IntegerType())), False),
 ])
 
+# MESH_SCHEMA + per-vertex attributes (reference geometry.h:56-63 carries
+# vertices/normals/texcoords): nx/ny/nz unit normals, tu/tv texture
+# coordinates with tw the featureId channel the reference packs into
+# UV.z (assimp 3-component UV set, geometry.cpp:398-401). tu/tv/tw are
+# EMPTY arrays when UVs are off (the reference's texCoordScale == 0
+# "omits UV set altogether", main.cpp:112-117).
+ATTR_FIELDS = ("nx", "ny", "nz", "tu", "tv", "tw")
+MESH_ATTR_SCHEMA = T.StructType(
+    MESH_SCHEMA.fields
+    + [T.StructField(c, T.ArrayType(T.DoubleType()), False)
+       for c in ATTR_FIELDS])
+
 
 def _extrude_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     out = {k: [] for k in ("way_id", "n_vertices", "n_faces", "vx", "vy", "vz", "faces")}
@@ -83,12 +95,102 @@ def _extrude_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     })
 
 
-def extrude_polygons(polygons: DataFrame, height_col: str = "height") -> DataFrame:
+def _extrude_attr_batch(pdf: pd.DataFrame, uv_scale: float) -> pd.DataFrame:
+    """Attribute-carrying extrusion in the REFERENCE's vertex layout
+    (geometry.cpp:310-415 extrude2dMesh): base ring (normals -up) + top
+    ring (normals +up) + 4 DEDICATED vertices per side quad so each side
+    carries its flat outward normal and its own UV quad — 6k vertices,
+    k+2 faces (two n-gon caps + k quads; sinks fan-triangulate where the
+    format demands triangles). Side UVs follow the reference's rounding
+    rule: U = round(edge_width / uv_scale), V = round(height / uv_scale),
+    corner order (U,V)(0,V)(0,0)(U,0), w = featureId; cap UVs are zeros
+    (the reference value-initializes them). uv_scale == 0 omits UVs."""
+    cols = ("way_id", "n_vertices", "n_faces", "vx", "vy", "vz", "faces",
+            "nx", "ny", "nz", "tu", "tv", "tw")
+    out = {k: [] for k in cols}
+    for way_id, xs, ys, h in zip(pdf["way_id"], pdf["__rx"], pdf["__ry"],
+                                 pdf["__h"]):
+        xs = np.asarray(xs, float)[:-1]
+        ys = np.asarray(ys, float)[:-1]
+        k = len(xs)
+        if k < 3:
+            continue
+        area2 = float(np.dot(xs, np.roll(ys, -1)) - np.dot(np.roll(xs, -1), ys))
+        if area2 < 0:
+            xs, ys = xs[::-1], ys[::-1]
+        h = float(h)
+        xn, yn = np.roll(xs, -1), np.roll(ys, -1)   # next-vertex rings
+        # side quad corners, reference order (geometry.cpp:370-375):
+        # c0 = top_next, c1 = top_f, c2 = base_f, c3 = base_next
+        sx = np.stack([xn, xs, xs, xn], axis=1).ravel()
+        sy = np.stack([yn, ys, ys, yn], axis=1).ravel()
+        sz = np.tile([h, h, 0.0, 0.0], k)
+        vx = np.concatenate([xs, xs, sx])
+        vy = np.concatenate([ys, ys, sy])
+        vz = np.concatenate([np.zeros(k), np.full(k, h), sz])
+        # flat outward side normal for a CCW ring: (dy, -dx, 0)/|edge|
+        dx, dy = xn - xs, yn - ys
+        el = np.hypot(dx, dy)
+        el[el == 0] = 1.0
+        snx = np.repeat(dy / el, 4)
+        sny = np.repeat(-dx / el, 4)
+        nx = np.concatenate([np.zeros(k), np.zeros(k), snx])
+        ny = np.concatenate([np.zeros(k), np.zeros(k), sny])
+        nz = np.concatenate([-np.ones(k), np.ones(k), np.zeros(4 * k)])
+        if uv_scale != 0.0:
+            u = np.round(el / uv_scale)
+            v = round(h / uv_scale)
+            su = np.stack([u, np.zeros(k), np.zeros(k), u], axis=1).ravel()
+            sv = np.tile([v, v, 0.0, 0.0], k)
+            tu = np.concatenate([np.zeros(2 * k), su])
+            tv = np.concatenate([np.zeros(2 * k), sv])
+            tw = np.concatenate([np.zeros(2 * k),
+                                 np.full(4 * k, float(way_id))])
+        else:
+            tu = tv = tw = np.empty(0)
+        # faces: reversed base n-gon (outward down), top n-gon, k quads
+        base = list(range(k - 1, -1, -1))
+        top = list(range(k, 2 * k))
+        quads = [[2 * k + 4 * f + j for j in range(4)] for f in range(k)]
+        faces = [base, top] + quads
+        out["way_id"].append(way_id)
+        out["n_vertices"].append(6 * k)
+        out["n_faces"].append(k + 2)
+        out["vx"].append(vx)
+        out["vy"].append(vy)
+        out["vz"].append(vz)
+        out["faces"].append(faces)
+        out["nx"].append(nx)
+        out["ny"].append(ny)
+        out["nz"].append(nz)
+        out["tu"].append(tu)
+        out["tv"].append(tv)
+        out["tw"].append(tw)
+    return pd.DataFrame({
+        "way_id": pd.Series(out["way_id"], dtype="int64"),
+        "n_vertices": pd.Series(out["n_vertices"], dtype="int64"),
+        "n_faces": pd.Series(out["n_faces"], dtype="int64"),
+        **{c: pd.Series(out[c], dtype=object)
+           for c in ("vx", "vy", "vz", "faces",
+                     "nx", "ny", "nz", "tu", "tv", "tw")},
+    })
+
+
+def extrude_polygons(polygons: DataFrame, height_col: str = "height",
+                     with_attributes: bool = False,
+                     uv_scale: float = 0.0) -> DataFrame:
     """polygons(way_id, ring, <height_col>) -> prism meshes.
 
     Narrow map (no shuffle); Arrow-batched. Degenerate footprints (<3 unique
     vertices) are dropped, matching the reference's degenerate-mesh filter
     (P10, sceneconstruct.cpp:85-87).
+
+    ``with_attributes=True`` switches to the reference's attribute-bearing
+    vertex layout (MESH_ATTR_SCHEMA: per-vertex normals + UV set, 6k
+    vertices / k+2 faces per prism — see ``_extrude_attr_batch``);
+    ``uv_scale`` is the reference's ``-u`` flag (0 omits the UV set,
+    main.cpp:112-117). The default layout (2k vertices, fan caps, shared
+    side vertices) stays byte-stable for the count oracles.
     """
     src = polygons.select(
         "way_id",
@@ -96,6 +198,13 @@ def extrude_polygons(polygons: DataFrame, height_col: str = "height") -> DataFra
         F.col("ring.lat").alias("__ry"),
         F.col(height_col).cast("double").alias("__h"),
     )
+
+    if with_attributes:
+        def gen_attr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield _extrude_attr_batch(pdf, uv_scale)
+
+        return src.mapInPandas(gen_attr, MESH_ATTR_SCHEMA)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

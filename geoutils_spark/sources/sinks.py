@@ -87,10 +87,18 @@ def write_obj_meshes(meshes: DataFrame, out_dir: str,
     semantics, but per-file). ``group_col`` (e.g. a cell token from
     ``with_cell_token``) routes meshes so one task owns one file —
     tile-artifact export at scale with zero driver involvement.
+
+    Attribute-bearing meshes (MESH_ATTR_SCHEMA: nx/ny/nz normals, tu/tv/tw
+    UVs — reference geometry.h:56-63) additionally emit ``vn`` and 3-component
+    ``vt`` lines (OBJ allows an optional w; the reference packs featureId
+    there) and index faces as ``v/vt/vn`` (or ``v//vn`` when the mesh has
+    no UV set); normals/UVs share the position index since the layout is
+    per-vertex 1:1.
     """
     import os
 
     df = meshes
+    has_attrs = "nx" in meshes.columns
     if group_col is None:
         group_col = "__grp"
         df = df.withColumn(group_col, F.lit("scene"))
@@ -100,21 +108,44 @@ def write_obj_meshes(meshes: DataFrame, out_dir: str,
     def write_partition(rows):
         handles = {}
         offsets = {}
+        toffsets = {}  # vt indices count separately: UV-less meshes skip vt
         try:
             for r in rows:
                 g = r[group_col]
                 if g not in handles:
                     handles[g] = open(os.path.join(out_dir, f"{g}.obj"), "w")
                     offsets[g] = 0
+                    toffsets[g] = 0
                     handles[g].write("# geoutils_spark OBJ export\n")
                 f = handles[g]
                 base = offsets[g]
+                tbase = toffsets[g]
                 f.write(f"o way_{r['way_id']}\n")
                 for x, y, z in zip(r["vx"], r["vy"], r["vz"]):
                     f.write(f"v {x!r} {y!r} {z!r}\n")
+                has_uv = False
+                if has_attrs:
+                    has_uv = len(r["tu"]) > 0
+                    for x, y, z in zip(r["nx"], r["ny"], r["nz"]):
+                        f.write(f"vn {x!r} {y!r} {z!r}\n")
+                    if has_uv:
+                        for u, v, w in zip(r["tu"], r["tv"], r["tw"]):
+                            f.write(f"vt {u!r} {v!r} {w!r}\n")
                 for face in r["faces"]:
-                    f.write("f " + " ".join(str(base + i + 1) for i in face) + "\n")
+                    if has_attrs and has_uv:
+                        f.write("f " + " ".join(
+                            f"{base + i + 1}/{tbase + i + 1}/{base + i + 1}"
+                            for i in face) + "\n")
+                    elif has_attrs:
+                        f.write("f " + " ".join(
+                            f"{base + i + 1}//{base + i + 1}"
+                            for i in face) + "\n")
+                    else:
+                        f.write("f " + " ".join(
+                            str(base + i + 1) for i in face) + "\n")
                 offsets[g] = base + len(r["vx"])
+                if has_uv:
+                    toffsets[g] = tbase + len(r["tu"])
         finally:
             for f in handles.values():
                 f.close()
@@ -333,13 +364,21 @@ def write_gltf_meshes(meshes: DataFrame, out_dir: str,
     binary-buffer spec, so the writer is dependency-free: one embedded
     base64 buffer per file holding float32 POSITION + uint32 indices, one
     mesh node per way. Same grouped one-task-per-file shape as the OBJ
-    sink."""
+    sink.
+
+    Attribute-bearing meshes (MESH_ATTR_SCHEMA) add NORMAL and — when the
+    mesh carries a UV set — TEXCOORD_0 accessors. glTF mandates VEC2
+    texcoords, so the reference's featureId channel (UV.z) is dropped
+    here; the OBJ sink preserves it, and way_id carries the same value.
+    Faces with >3 vertices (attribute-layout n-gon caps, ribbon quads)
+    are fan-triangulated on write — primitive mode 4 is triangles-only."""
     import base64
     import json
     import os
     import struct as _st
 
     df = meshes
+    has_attrs = "nx" in meshes.columns
     if group_col is None:
         group_col = "__grp"
         df = df.withColumn(group_col, F.lit("scene"))
@@ -356,8 +395,9 @@ def write_gltf_meshes(meshes: DataFrame, out_dir: str,
             for m in ms:
                 pos = b"".join(_st.pack("<fff", x, y, z)
                                for x, y, z in zip(m["vx"], m["vy"], m["vz"]))
-                idx = b"".join(_st.pack("<I", i)
-                               for f in m["faces"] for i in f)
+                tris = [(f[0], f[k], f[k + 1])
+                        for f in m["faces"] for k in range(1, len(f) - 1)]
+                idx = b"".join(_st.pack("<I", i) for t in tris for i in t)
                 pview = len(views)
                 views.append({"buffer": 0, "byteOffset": len(buf),
                               "byteLength": len(pos), "target": 34962})
@@ -375,11 +415,36 @@ def write_gltf_meshes(meshes: DataFrame, out_dir: str,
                 })
                 iacc = len(accessors)
                 accessors.append({"bufferView": iview, "componentType": 5125,
-                                  "count": sum(len(f) for f in m["faces"]),
-                                  "type": "SCALAR"})
+                                  "count": 3 * len(tris), "type": "SCALAR"})
+                attrs = {"POSITION": pacc}
+                if has_attrs:
+                    nrm = b"".join(
+                        _st.pack("<fff", x, y, z)
+                        for x, y, z in zip(m["nx"], m["ny"], m["nz"]))
+                    nview = len(views)
+                    views.append({"buffer": 0, "byteOffset": len(buf),
+                                  "byteLength": len(nrm), "target": 34962})
+                    buf.extend(nrm)
+                    attrs["NORMAL"] = len(accessors)
+                    accessors.append({"bufferView": nview,
+                                      "componentType": 5126,
+                                      "count": len(m["nx"]), "type": "VEC3"})
+                    if len(m["tu"]) > 0:
+                        uv = b"".join(_st.pack("<ff", u, v)
+                                      for u, v in zip(m["tu"], m["tv"]))
+                        tview = len(views)
+                        views.append({"buffer": 0, "byteOffset": len(buf),
+                                      "byteLength": len(uv),
+                                      "target": 34962})
+                        buf.extend(uv)
+                        attrs["TEXCOORD_0"] = len(accessors)
+                        accessors.append({"bufferView": tview,
+                                          "componentType": 5126,
+                                          "count": len(m["tu"]),
+                                          "type": "VEC2"})
                 meshes_js.append({
                     "name": f"way_{m['way_id']}",
-                    "primitives": [{"attributes": {"POSITION": pacc},
+                    "primitives": [{"attributes": attrs,
                                     "indices": iacc, "mode": 4}],
                 })
                 nodes_js.append({"mesh": len(meshes_js) - 1,
@@ -417,11 +482,17 @@ def write_dae_meshes(meshes: DataFrame, out_dir: str,
     the OBJ sink preserves polygons verbatim). Same grouped
     one-task-per-file shape as the OBJ/glTF sinks; timestamps are fixed so
     output is byte-deterministic for a given grouping.
+
+    Attribute-bearing meshes (MESH_ATTR_SCHEMA) add a per-vertex NORMAL
+    source sharing the position index stream (layouts are 1:1). UVs stay
+    with the OBJ/glTF sinks — Collada texcoords need materials/effects
+    plumbing that this debug-grade exporter deliberately omits.
     """
     import os
     from xml.sax.saxutils import escape as _xesc
 
     df = meshes
+    has_attrs = "nx" in meshes.columns
     if group_col is None:
         group_col = "__grp"
         df = df.withColumn(group_col, F.lit("scene"))
@@ -462,6 +533,27 @@ def write_dae_meshes(meshes: DataFrame, out_dir: str,
                 coords = " ".join(
                     f"{x!r} {y!r} {z!r}"
                     for x, y, z in zip(r["vx"], r["vy"], r["vz"]))
+                norm_src = norm_input = ""
+                if has_attrs:
+                    norms = " ".join(
+                        f"{x!r} {y!r} {z!r}"
+                        for x, y, z in zip(r["nx"], r["ny"], r["nz"]))
+                    norm_src = (
+                        f'        <source id="way_{wid}-nrm">\n'
+                        f'          <float_array id="way_{wid}-nrm-array" '
+                        f'count="{3 * nv}">{norms}</float_array>\n'
+                        f'          <technique_common>\n'
+                        f'            <accessor source="#way_{wid}-nrm-array" '
+                        f'count="{nv}" stride="3">\n'
+                        f'              <param name="X" type="float"/>\n'
+                        f'              <param name="Y" type="float"/>\n'
+                        f'              <param name="Z" type="float"/>\n'
+                        f'            </accessor>\n'
+                        f'          </technique_common>\n'
+                        f'        </source>\n')
+                    norm_input = (
+                        f'          <input semantic="NORMAL" '
+                        f'source="#way_{wid}-nrm" offset="0"/>\n')
                 f.write(f'    <geometry id="way_{wid}-mesh" name="way_{wid}">\n'
                         f'      <mesh>\n'
                         f'        <source id="way_{wid}-pos">\n'
@@ -476,6 +568,7 @@ def write_dae_meshes(meshes: DataFrame, out_dir: str,
                         f'            </accessor>\n'
                         f'          </technique_common>\n'
                         f'        </source>\n'
+                        + norm_src +
                         f'        <vertices id="way_{wid}-vtx">\n'
                         f'          <input semantic="POSITION" '
                         f'source="#way_{wid}-pos"/>\n'
@@ -483,6 +576,7 @@ def write_dae_meshes(meshes: DataFrame, out_dir: str,
                         f'        <triangles count="{len(tris)}">\n'
                         f'          <input semantic="VERTEX" '
                         f'source="#way_{wid}-vtx" offset="0"/>\n'
+                        + norm_input +
                         f'          <p>'
                         + " ".join(f"{a} {b} {c}" for a, b, c in tris)
                         + '</p>\n'

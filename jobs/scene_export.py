@@ -28,7 +28,28 @@ def main() -> None:
     ap.add_argument("--consolidate", type=int, choices=(0, 1, 2), default=2,
                     help="mesh granularity (reference -c): 0 single mesh, "
                          "1 per kind, 2 per object")
+    ap.add_argument("--attributes", action="store_true",
+                    help="emit per-vertex normals (+ UVs with --uv-scale): "
+                         "the reference's attribute-bearing mesh layout")
+    ap.add_argument("--uv-scale", type=float, default=0.0,
+                    help="UV scale for building sides (reference -u); "
+                         "0 omits the UV set; implies --attributes")
+    ap.add_argument("--fixed-height", type=float, default=None,
+                    help="fallback height in meters when tags carry none "
+                         "(reference -f; default 7.5 = 3 levels x 2.5 m)")
+    ap.add_argument("--projection", choices=("lonlat", "mercator", "ned"),
+                    default="lonlat",
+                    help="ground coordinates: raw degrees (default), "
+                         "web-Mercator meters minus ref point (the "
+                         "reference's default), or local NED tangent-plane "
+                         "meters (the reference's -a center-earth-fixed)")
+    ap.add_argument("--y-up", action="store_true",
+                    help="export y-up, x negated (the reference's DEFAULT "
+                         "axis convention; this engine's native space is "
+                         "z-up = the reference's -z)")
     args = ap.parse_args()
+    if args.uv_scale:
+        args.attributes = True
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -36,12 +57,26 @@ def main() -> None:
     spark = SparkSession.builder.appName("geoutils_spark_scene").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    from geoutils_spark.operators.scene import scene_meshes
+    from geoutils_spark.operators.scene import (project_scene_nodes,
+                                                scene_meshes, swizzle_y_up)
     from geoutils_spark.sources import osm, sinks
 
     nodes, ways = osm.read_osm(spark, args.input)
-    meshes = scene_meshes(nodes, ways, highway_width=args.width,
-                          ground_holes=not args.no_ground_holes).cache()
+    if args.projection != "lonlat":
+        nodes = project_scene_nodes(nodes, mode=args.projection)
+    width = args.width
+    if args.projection != "lonlat" and width < 0.01:
+        # degree-sized default width in a meters projection would be
+        # invisible; reference LineSegment widths are meters
+        width = 3.0
+    meshes = scene_meshes(nodes, ways, highway_width=width,
+                          ground_holes=not args.no_ground_holes,
+                          attributes=args.attributes,
+                          uv_scale=args.uv_scale,
+                          default_height_m=args.fixed_height)
+    if args.y_up:
+        meshes = swizzle_y_up(meshes)
+    meshes = meshes.cache()
     counts = {r.kind: r.n for r in meshes.groupBy("kind")
               .agg(F.count("*").alias("n")).collect()}
     if args.consolidate < 2:
@@ -53,12 +88,9 @@ def main() -> None:
     if args.format == "obj":
         sinks.write_obj_meshes(meshes, args.out)
     else:
-        sinks.write_gltf_meshes(meshes.filter(F.col("kind") != "highway"),
-                                args.out)
-        # glTF sink emits triangles; quad-faced ribbons go through OBJ
-        if counts.get("highway"):
-            sinks.write_obj_meshes(meshes.filter(F.col("kind") == "highway"),
-                                   args.out)
+        # the glTF sink fan-triangulates quads/n-gons on write, so ribbons
+        # and attribute-layout caps export directly
+        sinks.write_gltf_meshes(meshes, args.out)
     print(json.dumps({"meshes": counts, "out": args.out,
                       "format": args.format}))
     spark.stop()
