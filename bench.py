@@ -81,6 +81,8 @@ EXTRA = [
     "text_paragraph_dedup",
     "web_bm25_topk",
     "web_bloom_membership",
+    # r4 additions
+    "geom_attr_stats",
 ]
 
 

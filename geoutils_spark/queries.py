@@ -1736,6 +1736,50 @@ def geom_extrude_stats(spark, sf_dir):
     )
 
 
+# U ticks exactly 4 per building edge: fixture buildings are squares of
+# side grid_space (queries _grid_sql == fixtures.polygon_grid float math)
+_ATTR_UV_SCALE = fixtures.grid_space(LONDON_EXTENTS, _NX) / 4.0
+
+
+@register(
+    "geom_attr_stats",
+    f"""
+    WITH g AS ({_grid_sql()})
+    SELECT way_id,
+           CAST(24 AS BIGINT) AS n_vertices,
+           CAST(6 AS BIGINT) AS n_faces,
+           CAST(4 * (ROUND((maxx - minx) / {_dbl(_ATTR_UV_SCALE)})
+                     + ROUND((maxy - miny) / {_dbl(_ATTR_UV_SCALE)}))
+                AS DOUBLE) AS sum_tu,
+           CAST(8 * ROUND(({_height_case_sql('way_id')})
+                          / {_dbl(_ATTR_UV_SCALE)}) AS DOUBLE) AS sum_tv,
+           CAST(16 * way_id AS DOUBLE) AS sum_tw,
+           CAST(0 AS DOUBLE) AS sum_nz
+    FROM g
+    """,
+)
+def geom_attr_stats(spark, sf_dir):
+    """G1 attribute layout (reference geometry.cpp:310-415 via
+    ``with_attributes=True``): the oracle re-derives the 6k-vertex /
+    k+2-face contract and the reference UV rounding rule
+    (U = round(edge/scale) twice per side quad -> 2 per edge; V =
+    round(height/scale) twice per quad -> 8V total; tw = featureId on the
+    16 side vertices) plus the normal-balance invariant (base -up and top
+    +up cancel; flat side normals have z = 0 -> sum_nz == 0). All summed
+    values are integer-valued doubles, so aggregation order is exact in
+    both dialects."""
+    polys = fixtures.polygons_df(spark).filter(F.col("kind") == "building")
+    polys = polys.withColumn("height", OT.height_col(F.col("tags")))
+    mesh = extrude_polygons(polys, "height", with_attributes=True,
+                            uv_scale=_ATTR_UV_SCALE)
+    s = lambda c: F.aggregate(c, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    return mesh.select(
+        "way_id", "n_vertices", "n_faces",
+        s("tu").alias("sum_tu"), s("tv").alias("sum_tv"),
+        s("tw").alias("sum_tw"), s("nz").alias("sum_nz"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Polyline near-join + cell decode block (reference G2 buffer semantics,
 # s2util decode surface F12-F15)
