@@ -12,6 +12,12 @@ Chain (operators/corpus.py): quality gate + language-ID -> PII redaction
 -> exact dedup -> MinHash+LSH near-dedup -> benchmark decontamination ->
 deterministic train/val/test split -> parquet partitioned by split.
 
+Single-pass since r4: prepare_corpus persists every stage boundary
+(DISK_ONLY), so the stage counters, the write, and the per-split summary
+each read caches instead of re-executing the chain (measured 5.5x at 92k
+docs, BENCH/R04_DELTA.md). Pass --no-counts to skip the per-stage
+counters entirely (counts print as {} and the lineage omits them).
+
 --out writes hive-partitioned by split through
 plans.manifests.write_with_manifests: one lineage manifest per split
 partition (row counts + the job config and per-stage survivor counts that
@@ -45,6 +51,9 @@ def main() -> None:
                     "the per-partition lineage manifests under --out")
     ap.add_argument("--min-est-jaccard", type=float, default=0.5)
     ap.add_argument("--min-jaccard", type=float, default=0.7)
+    ap.add_argument("--no-counts", action="store_true",
+                    help="skip per-stage survivor counters (stages still "
+                    "persist; the write is the only consumer action)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -73,7 +82,8 @@ def main() -> None:
     kept, counts = prepare_corpus(
         docs, benchmarks,
         min_est_jaccard=args.min_est_jaccard,
-        min_jaccard=args.min_jaccard)
+        min_jaccard=args.min_jaccard,
+        collect_counts=not args.no_counts)
 
     if args.out:
         from geoutils_spark.plans.manifests import write_with_manifests
