@@ -141,6 +141,35 @@ def dedup_paragraphs(docs: DataFrame, sep: str = "\n",
     )
 
 
+def dedup_lines(docs: DataFrame, sep: str = "\n",
+                text_col: str = "text") -> DataFrame:
+    """Within-document line dedup (the RefinedWeb/C4 boilerplate-line
+    stage that precedes global dedup: nav menus, cookie banners, and
+    footer lines repeat INSIDE a page): split on ``sep``, drop empty
+    lines, keep each distinct line's FIRST occurrence in document order,
+    reassemble. Adds ``n_lines`` (kept) and ``n_dupes`` (dropped).
+
+    ENTIRELY row-local — higher-order array functions inside whole-stage
+    codegen, zero exchanges at any corpus size (contrast
+    ``dedup_paragraphs``, which is global and costs two exchanges).
+    First-occurrence test is ``array_position(lines, x) == i + 1``
+    (1-based first index vs 0-based lambda index) — O(k^2) in a doc's
+    line count, fine for real pages (k ~ 10^2) and still scan-bound."""
+    others = [c for c in docs.columns if c != text_col]
+    lines = F.filter(
+        F.split(F.col(text_col), re.escape(sep)), lambda x: x != F.lit(""))
+    d = docs.withColumn("__lines", lines)
+    kept = F.filter(
+        F.col("__lines"),
+        lambda x, i: F.array_position(F.col("__lines"), x) == i + 1)
+    return d.select(
+        *others,
+        F.array_join(kept, sep).alias(text_col),
+        F.size(kept).cast("long").alias("n_lines"),
+        (F.size("__lines") - F.size(kept)).cast("long").alias("n_dupes"),
+    )
+
+
 def decontaminate(docs: DataFrame, benchmarks: DataFrame,
                   k: int = 8, max_hits: int = 0) -> DataFrame:
     """Stage 5: drop docs sharing more than ``max_hits`` k-gram

@@ -3712,6 +3712,37 @@ def text_paragraph_dedup(spark, sf_dir):
     return CP.dedup_paragraphs(d, sep=" the ")
 
 
+@register("text_line_dedup", """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' the '), x -> x <> '') AS ls
+        FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(
+               list_filter(ls, (x, i) -> list_position(ls, x) = i),
+               ' the ') AS text,
+           CAST(len(list_filter(ls, (x, i) -> list_position(ls, x) = i))
+                AS BIGINT) AS n_lines,
+           CAST(len(ls) - len(list_filter(ls, (x, i) ->
+                list_position(ls, x) = i)) AS BIGINT) AS n_dupes
+    FROM t
+""")
+def text_line_dedup(spark, sf_dir):
+    """WITHIN-document line dedup (operators/corpus.py::dedup_lines, the
+    RefinedWeb/C4 boilerplate-line stage): each distinct non-empty
+    segment keeps only its first occurrence inside its own document —
+    zero exchanges, pure higher-order array codegen on the scan
+    (contrast text_paragraph_dedup's global two-exchange semantics).
+    ' the ' serves as the separator (fixture text has no newlines); the
+    oracle replays the first-index filter with DuckDB's indexed
+    list_filter lambda (1-based there, 0-based in Spark)."""
+    from geoutils_spark.operators import corpus as CP
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return CP.dedup_lines(d, sep=" the ")
+
+
 from geoutils_spark.operators import retrieval as RT  # noqa: E402
 
 _BM25_QUERIES = [

@@ -184,3 +184,24 @@ def test_hash_split_stable_under_growth(spark):
     s = {r["doc_id"]: r["split"] for r in CP.hash_split(small).collect()}
     b = {r["doc_id"]: r["split"] for r in CP.hash_split(big).collect()}
     assert all(b[k] == v for k, v in s.items())
+
+
+def test_dedup_lines_within_doc(spark):
+    """RefinedWeb/C4 boilerplate-line removal: first occurrence per doc
+    kept in order, empty lines never counted, cross-doc lines untouched
+    (it is within-doc, unlike dedup_paragraphs), plan stays exchange-free."""
+    df = spark.createDataFrame(
+        [(1, "nav\nbody one\nnav\n\nbody two\nnav"),
+         (2, "nav\nother"),
+         (3, "\n\n")],
+        ["doc_id", "text"])
+    out = CP.dedup_lines(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["text"] == "nav\nbody one\nbody two"
+    assert rows[1]["n_lines"] == 3 and rows[1]["n_dupes"] == 2
+    # within-doc only: doc 2 keeps its own 'nav'
+    assert rows[2]["text"] == "nav\nother" and rows[2]["n_dupes"] == 0
+    # all-empty doc survives with empty text (row-local op drops no rows)
+    assert rows[3]["text"] == "" and rows[3]["n_lines"] == 0
