@@ -28,6 +28,7 @@ import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from geoutils_spark.functions import pii as PII
 from geoutils_spark.functions import textanalysis as TA
@@ -167,6 +168,79 @@ def dedup_lines(docs: DataFrame, sep: str = "\n",
         F.array_join(kept, sep).alias(text_col),
         F.size(kept).cast("long").alias("n_lines"),
         (F.size("__lines") - F.size(kept)).cast("long").alias("n_dupes"),
+    )
+
+
+def keep_latest(snapshots: DataFrame, key_col: str = "url_key",
+                ts_col: str = "warc_ts",
+                id_col: str = "doc_id") -> DataFrame:
+    """Recrawl dedup: collapse every group of crawl snapshots sharing a
+    canonical key (``urls.url_normalize_col`` output) to the single
+    newest row — max ``(ts_col, id_col)``, struct-lexicographic so ties
+    on the timestamp break deterministically by id. Adds ``n_snapshots``
+    (group size). This is the keep-one-per-URL pass a Common-Crawl-style
+    pipeline runs before content dedup: the same page recrawled monthly
+    contributes one row, not twelve.
+
+    Scale shape: a single partial-aggregating ``max_by`` hash aggregate —
+    map-side combine collapses each task's snapshots of a hot URL to one
+    candidate before the exchange, so a URL recrawled 10^6 times (or a
+    crawler trap) costs one row per upstream task, never a single-task
+    window sort (the same skew-immunity argument as
+    ``dedup_paragraphs``). One exchange on the uniform md5-normalized key,
+    carrying exactly one payload row per (task, key).
+    """
+    payload = [c for c in snapshots.columns if c != key_col]
+    out = snapshots.groupBy(key_col).agg(
+        F.max_by(F.struct(*payload), F.struct(ts_col, id_col)).alias("__r"),
+        F.count(F.lit(1)).cast("long").alias("n_snapshots"),
+    )
+    return out.select(
+        key_col,
+        *[F.col(f"__r.{c}").alias(c) for c in payload],
+        "n_snapshots",
+    )
+
+
+def pack_sequences(docs: DataFrame, budget: int = 2048, n_shards: int = 64,
+                   id_col: str = "doc_id",
+                   token_col: str = "n_tokens") -> DataFrame:
+    """Concat-and-chunk sequence packing (the layout step that turns a
+    filtered corpus into fixed-width LLM training sequences): documents
+    are laid end-to-end in a deterministic pseudo-random order and cut
+    into ``budget``-token sequences. Each doc gets ``(shard, seq_id,
+    seq_off)`` — the sequence its FIRST token lands in and the offset
+    inside it; a doc whose tail crosses a boundary continues into the
+    next sequence (standard concat-and-chunk semantics — no padding, no
+    doc-level bin packing, which is what GPT-style pretraining uses).
+
+    Determinism + distribution: the order is ``(md5(id), id)`` inside
+    ``n_shards`` md5-prefix shards, so the layout is a pure function of
+    the doc ids — stable under repartitioning and re-runs (same property
+    as ``hash_split``). The running total is a window per shard: ONE
+    exchange on the uniform shard key, then an in-task sort of
+    corpus/n_shards rows. ``n_shards`` is the parallelism/skew dial —
+    size it so a shard's (id, tokens) pairs fit a task's sort buffer
+    (at 100 TB with 2^14 shards a shard is ~60M 24-byte pairs; the
+    payload text does NOT ride through the window, join it back on id).
+    """
+    h = F.md5(F.col(id_col).cast("string").cast("binary"))
+    d = docs.select(
+        F.col(id_col), F.col(token_col).cast("long").alias(token_col),
+        h.alias("__h"),
+    ).withColumn(
+        "shard",
+        F.pmod(F.conv(F.substring("__h", 1, 8), 16, 10).cast("long"),
+               F.lit(n_shards)),
+    )
+    w = (Window.partitionBy("shard").orderBy("__h", id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = (F.sum(token_col).over(w) - F.col(token_col))
+    packed = d.select(id_col, token_col, "shard", start.alias("__start"))
+    return packed.select(
+        id_col, token_col, "shard",
+        F.expr(f"__start DIV {int(budget)}").alias("seq_id"),
+        F.pmod(F.col("__start"), F.lit(int(budget))).alias("seq_off"),
     )
 
 

@@ -3039,6 +3039,7 @@ def rel_kmv_distinct(spark, sf_dir):
 # discipline).
 # ---------------------------------------------------------------------------
 from geoutils_spark.functions import pii as PII  # noqa: E402
+from geoutils_spark.functions import textnorm as TN  # noqa: E402
 from geoutils_spark.functions import urls as U  # noqa: E402
 
 
@@ -3741,6 +3742,155 @@ def text_line_dedup(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return CP.dedup_lines(d, sep=" the ")
+
+
+@register("web_recrawl_dedup", f"""
+    WITH urls AS (
+        SELECT doc_id, lang, n_chars,
+               CASE WHEN doc_id % 11 = 0 THEN 'HTTPS://Site'
+                    ELSE 'https://site' END
+               || CAST(doc_id % 59 AS VARCHAR) || '.example/p'
+               || CAST(doc_id % 59 AS VARCHAR)
+               || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+               || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url
+        FROM documents
+    ),
+    snaps AS (
+        SELECT {{NORM}} AS url_key, doc_id,
+               CAST(1600000000 + (doc_id * 7919) % 31536000 AS BIGINT)
+                   AS warc_ts,
+               lang, n_chars
+        FROM urls
+    ),
+    r AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY url_key
+                                  ORDER BY warc_ts DESC, doc_id DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY url_key) AS n_snapshots
+        FROM snaps
+    )
+    SELECT url_key, doc_id, warc_ts, lang, n_chars,
+           CAST(n_snapshots AS BIGINT) AS n_snapshots
+    FROM r WHERE rn = 1
+""".replace("{NORM}", U.url_normalize_sql("url")))
+def web_recrawl_dedup(spark, sf_dir):
+    """Recrawl dedup (operators/corpus.py::keep_latest): collapse every
+    canonical-URL group of crawl snapshots to its newest row. The fixture
+    derives ~59 pages recrawled by many doc_ids, with scheme/host case,
+    trailing-slash, and fragment variants that url_normalize_col must
+    collapse into one key, and a deterministic warc_ts per snapshot.
+    Spark side is a single partial-aggregating max_by hash aggregate
+    (skew-immune: a crawler-trap URL combines map-side); the oracle
+    replays it as a row_number window. Ties impossible on (warc_ts,
+    doc_id) since doc_id is unique."""
+    from geoutils_spark.operators import corpus as CP
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    i = F.col("doc_id")
+    p = (i % 59).cast("string")
+    url = F.concat(
+        F.when(i % 11 == 0, F.lit("HTTPS://Site")).otherwise(
+            F.lit("https://site")), p,
+        F.lit(".example/p"), p,
+        F.when(i % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(i % 4 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    snaps = d.select(
+        U.url_normalize_col(url).alias("url_key"),
+        "doc_id",
+        (F.lit(1600000000) + (i * 7919) % 31536000).cast("long")
+        .alias("warc_ts"),
+        "lang", "n_chars",
+    )
+    return CP.keep_latest(snaps)
+
+
+@register("text_pack_sequences", f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST({{TOK}} AS BIGINT) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS h,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 8 AS shard
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens, shard,
+               SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS strt
+        FROM toks
+    )
+    SELECT doc_id, n_tokens, CAST(shard AS BIGINT) AS shard,
+           CAST(strt // 256 AS BIGINT) AS seq_id,
+           CAST(strt % 256 AS BIGINT) AS seq_off
+    FROM c
+""".replace("{TOK}", TA.token_count_sql("text")))
+def text_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (operators/corpus.py::
+    pack_sequences): lay documents end-to-end in md5 order inside 8
+    md5-prefix shards and cut 256-token training sequences; each doc
+    reports the (shard, seq_id, seq_off) where its first token lands.
+    Pure function of the doc ids — stable under repartitioning (same
+    guarantee as text_hash_split). One exchange on the uniform shard key;
+    the window sorts corpus/n_shards (id, count) pairs per task, never
+    payload text. Oracle replays the identical window in DuckDB; all
+    arithmetic is BIGINT (integer DIV/mod), so the hash compare is
+    exact."""
+    from geoutils_spark.operators import corpus as CP
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", TA.token_count_col(F.col("text")).alias("n_tokens"))
+    return CP.pack_sequences(d, budget=256, n_shards=8)
+
+
+@register("text_normalize", """
+    WITH m AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN decode(from_hex('2065CC81')) ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN decode(from_hex('0120207A')) ELSE '' END AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           md5({NORM}) AS norm_md5,
+           CAST(length(raw) AS BIGINT) AS n_chars_raw,
+           CAST(length({NORM}) AS BIGINT) AS n_chars_norm
+    FROM m
+""".replace("{NORM}", TN.normalize_sql("raw")))
+def text_normalize(spark, sf_dir):
+    """Unicode NFC + whitespace/control normalization
+    (functions/textnorm.py — the CCNet-style cleaning stage canonically
+    composing equivalent byte sequences before any md5-keyed dedup). The
+    fixture plants a decomposed 'e'+COMBINING ACUTE on every 3rd doc
+    (NFC must compose it: 3 codepoints -> 2) and a C0 control plus a
+    double space on every 7th (cleanup must strip/collapse). NFC runs as
+    an Arrow-batched pandas UDF (Spark has no native normalizer — the
+    legitimate-UDF case); the cleanup tier is shared-literal regexp
+    codegen. Oracle replays with DuckDB's utf8proc nfc_normalize + the
+    same regexes; normalized text verified byte-exact via md5, plus
+    codepoint counts before/after."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    raw = F.concat(
+        F.col("text"),
+        F.when(i % 3 == 0,
+               F.decode(F.unhex(F.lit("2065CC81")), "UTF-8"))
+        .otherwise(F.lit("")),
+        F.when(i % 7 == 0,
+               F.decode(F.unhex(F.lit("0120207A")), "UTF-8"))
+        .otherwise(F.lit("")),
+    )
+    m = d.select("doc_id", raw.alias("raw"))
+    norm = TN.normalize_col(F.col("raw"))
+    return m.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("norm_md5"),
+        F.length("raw").cast("long").alias("n_chars_raw"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )
 
 
 from geoutils_spark.operators import retrieval as RT  # noqa: E402

@@ -205,3 +205,51 @@ def test_dedup_lines_within_doc(spark):
     assert rows[2]["text"] == "nav\nother" and rows[2]["n_dupes"] == 0
     # all-empty doc survives with empty text (row-local op drops no rows)
     assert rows[3]["text"] == "" and rows[3]["n_lines"] == 0
+
+
+def test_keep_latest_recrawl_dedup(spark):
+    """One keeper per canonical key: newest warc_ts wins, timestamp ties
+    break by highest id, group size reported, payload columns preserved.
+    Plan must be a partial-aggregating hash agg (skew-immune), no Window."""
+    snaps = spark.createDataFrame(
+        [("k1", 1, 100, "a"), ("k1", 2, 300, "b"), ("k1", 3, 200, "c"),
+         ("k2", 4, 50, "d"), ("k2", 5, 50, "e"),
+         ("k3", 6, 10, "f")],
+        ["url_key", "doc_id", "warc_ts", "text"])
+    out = CP.keep_latest(snaps)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "partial_max_by" in plan or "partial" in plan.lower(), plan
+    rows = {r["url_key"]: r for r in out.collect()}
+    assert rows["k1"]["doc_id"] == 2 and rows["k1"]["text"] == "b"
+    assert rows["k1"]["n_snapshots"] == 3
+    # ts tie on k2 -> highest doc_id wins deterministically
+    assert rows["k2"]["doc_id"] == 5 and rows["k2"]["n_snapshots"] == 2
+    assert rows["k3"]["doc_id"] == 6 and rows["k3"]["n_snapshots"] == 1
+
+
+def test_pack_sequences_layout(spark):
+    """Concat-and-chunk invariants: within each shard, ordered by
+    (seq_id, seq_off), documents tile the token stream exactly (each
+    start == previous start + previous tokens); seq_off < budget; the
+    assignment is a pure function of ids (stable under repartitioning)."""
+    docs = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7 + 1).alias("n_tokens"))
+    out = CP.pack_sequences(docs, budget=10, n_shards=4).toPandas()
+    assert len(out) == 200
+    assert (out["seq_off"] < 10).all() and (out["seq_off"] >= 0).all()
+    assert set(out["shard"].unique()) <= {0, 1, 2, 3}
+    for _, g in out.groupby("shard"):
+        g = g.sort_values(["seq_id", "seq_off"]).reset_index(drop=True)
+        starts = g["seq_id"] * 10 + g["seq_off"]
+        ends = starts + g["n_tokens"]
+        # exact tiling: no gaps, no overlaps, starts at 0
+        assert starts.iloc[0] == 0
+        assert (starts.iloc[1:].values == ends.iloc[:-1].values).all()
+    # repartitioning the input changes nothing
+    out2 = (CP.pack_sequences(docs.repartition(13), budget=10, n_shards=4)
+            .toPandas())
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
