@@ -83,6 +83,11 @@ EXTRA = [
     "web_bloom_membership",
     # r4 additions
     "geom_attr_stats",
+    "text_line_dedup",
+    "web_recrawl_dedup",
+    "text_pack_sequences",
+    "text_normalize",
+    "text_classifier_score",
 ]
 
 

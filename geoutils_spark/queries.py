@@ -3893,6 +3893,28 @@ def text_normalize(spark, sf_dir):
     )
 
 
+from geoutils_spark.operators import classifier as CL  # noqa: E402
+
+
+@register("text_classifier_score",
+          CL.score_sql("documents", n_buckets=1 << 16))
+def text_classifier_score(spark, sf_dir):
+    """Model-based quality filter (operators/classifier.py): hashed-linear
+    classifier inference — each token hashes into one of 2^16 feature
+    buckets, the bucket's integer-quantized weight is looked up in an
+    explicitly broadcast weight table (the learned-model path a FineWeb/
+    CCNet-style pipeline runs), and the per-doc sum decides keep/drop.
+    Plan: one broadcast exchange for the model, then a partial-aggregating
+    hash agg back to one row per doc — the corpus itself never shuffles
+    a payload byte. The oracle replays the identical BIGINT math with
+    DuckDB list_transform/list_sum (formula weights, same hash idiom);
+    pytest cross-checks the broadcast path against the zero-exchange
+    row-local path and asserts BroadcastHashJoin in the plan."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = CL.synthetic_weights_df(spark, n_buckets=1 << 16)
+    return CL.score_broadcast(d, w, n_buckets=1 << 16)
+
+
 from geoutils_spark.operators import retrieval as RT  # noqa: E402
 
 _BM25_QUERIES = [
