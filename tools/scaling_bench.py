@@ -114,6 +114,11 @@ def main() -> int:
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--keep-input", action="store_true")
+    ap.add_argument("--reuse-input", action="store_true",
+                    help="skip materialization if dist/bench_pages already "
+                         "exists (pair with --keep-input: the ~7-min "
+                         "materialize otherwise burns the quiet host window "
+                         "the pinned legs need)")
     ap.add_argument("--allow-normalized", action="store_true",
                     help="let the hardware-normalized efficiency satisfy the "
                          "gate when raw falls short (noisy-host fallback; the "
@@ -125,8 +130,11 @@ def main() -> int:
 
     zip_path = build_zip(os.path.join(REPO, "dist", "geoutils_spark.zip"))
     input_path = os.path.join(REPO, "dist", "bench_pages")
-    print(f"materializing {args.pages} pages -> {input_path} (untimed)")
-    materialize_pages(args.pages, input_path)
+    if args.reuse_input and os.path.isdir(input_path):
+        print(f"reusing existing {input_path} (untimed)")
+    else:
+        print(f"materializing {args.pages} pages -> {input_path} (untimed)")
+        materialize_pages(args.pages, input_path)
 
     results = {}
     for cores in (args.low, args.high):
