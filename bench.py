@@ -88,6 +88,7 @@ EXTRA = [
     "text_pack_sequences",
     "text_normalize",
     "text_classifier_score",
+    "geo_raster_regions",
 ]
 
 

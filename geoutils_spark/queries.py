@@ -3915,6 +3915,56 @@ def text_classifier_score(spark, sf_dir):
     return CL.score_broadcast(d, w, n_buckets=1 << 16)
 
 
+@register("geo_raster_regions", f"""
+    WITH RECURSIVE
+    g AS (
+        SELECT {{TX}} AS x, {{TY}} AS y FROM orders
+    ),
+    occ AS (
+        SELECT x * 1048576 + y AS k, x, y, CAST(COUNT(*) AS BIGINT) AS n
+        FROM g GROUP BY x, y HAVING COUNT(*) >= 3
+    ),
+    e AS (
+        SELECT a.k AS src, b.k AS dst
+        FROM occ a JOIN occ b ON b.k = a.k + 1048576
+        UNION ALL
+        SELECT a.k, b.k
+        FROM occ a JOIN occ b ON b.k = a.k + 1 AND a.y < 1048575
+    ),
+    ee AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+    reach (k, lab) AS (
+        SELECT k, k FROM occ
+        UNION
+        SELECT ee.dst, r.lab FROM ee JOIN reach r ON ee.src = r.k
+    ),
+    lab AS (SELECT k, MIN(lab) AS region_id FROM reach GROUP BY k)
+    SELECT region_id,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(n) AS BIGINT) AS n_points,
+           MIN(x) AS min_x, MAX(x) AS max_x,
+           MIN(y) AS min_y, MAX(y) AS max_y
+    FROM occ JOIN lab USING (k)
+    GROUP BY region_id
+""".replace("{TX}", C.tile_x_sql(_LON, 20)).replace(
+        "{TY}", C.tile_y_sql(_LAT, 20)))
+def geo_raster_regions(spark, sf_dir):
+    """Raster -> vector polygonize (operators/raster.py): rasterize the
+    orders point set to a zoom-20 slippy grid (the fixture bbox spans
+    ~112x77 tiles there), threshold at >=3 points
+    per cell, merge 4-adjacent occupied cells into connected regions via
+    the pointer-doubling component labeler, and report each blob's vector
+    stats (min-cell-id region id, cell count, mass, bbox). The grid-CC
+    special case IS oracle-expressible — the DuckDB twin replays the
+    min-label closure as a recursive CTE over identical equi-join edges —
+    so unlike free-graph dedup_components this iterative operator gets
+    the full hash-exact check."""
+    from geoutils_spark.operators import raster as RA
+
+    occ = RA.grid_occupancy(_orders_points(spark, sf_dir), "lon", "lat",
+                            zoom=20, min_count=3)
+    return RA.raster_regions(occ, zoom=20)
+
+
 from geoutils_spark.operators import retrieval as RT  # noqa: E402
 
 _BM25_QUERIES = [
