@@ -89,6 +89,7 @@ EXTRA = [
     "text_normalize",
     "text_classifier_score",
     "geo_raster_regions",
+    "geo_tile_pyramid",
 ]
 
 

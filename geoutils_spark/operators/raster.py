@@ -51,6 +51,31 @@ def grid_occupancy(points: DataFrame, lon: str, lat: str, zoom: int,
     )
 
 
+def tile_pyramid(occ: DataFrame, zoom: int, zoom_min: int) -> DataFrame:
+    """Full tile-pyramid rollup (the hypertable/tileserver build step):
+    from a leaf occupancy grid at ``zoom`` (columns x, y, n), produce
+    every level down to ``zoom_min`` with per-tile counts. Output:
+    (zoom, x, y, n), one row per non-empty tile per level.
+
+    Plan shape: ITERATIVE HALVING — each level aggregates the PREVIOUS
+    level (x>>1, y>>1), not the leaf grid, so level z costs a shuffle of
+    at most 4^z rows and the whole pyramid is a geometric series
+    totalling ~1.33x the leaf aggregation (vs ~L x leaf for the naive
+    re-aggregate-from-leaves plan). Counts are sums, so coarsening
+    composes exactly; the oracle replays each level directly from the
+    leaf grid with a bit-shift GROUP BY — same numbers, proving the
+    incremental rollup against the declarative definition."""
+    lvl = occ.select("x", "y", F.col("n").cast("long").alias("n"))
+    out = lvl.select(F.lit(zoom).cast("long").alias("zoom"), "x", "y", "n")
+    for z in range(zoom - 1, zoom_min - 1, -1):
+        lvl = (lvl.groupBy(F.shiftright("x", 1).alias("x"),
+                           F.shiftright("y", 1).alias("y"))
+               .agg(F.sum("n").alias("n")))
+        out = out.unionByName(
+            lvl.select(F.lit(z).cast("long").alias("zoom"), "x", "y", "n"))
+    return out
+
+
 def raster_regions(occ: DataFrame, zoom: int,
                    max_iter: int = 20) -> DataFrame:
     """Polygonize an occupancy grid (output of ``grid_occupancy``) into

@@ -3965,6 +3965,38 @@ def geo_raster_regions(spark, sf_dir):
     return RA.raster_regions(occ, zoom=20)
 
 
+@register("geo_tile_pyramid", f"""
+    WITH g AS (
+        SELECT {{TX}} AS x, {{TY}} AS y FROM orders
+    ),
+    leaf AS (
+        SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY x, y
+    ),
+    levels(z) AS (
+        SELECT 20 - i FROM generate_series(0, 6) t(i)
+    )
+    SELECT CAST(z AS BIGINT) AS zoom,
+           x >> (20 - z) AS x, y >> (20 - z) AS y,
+           CAST(SUM(n) AS BIGINT) AS n
+    FROM leaf, levels
+    GROUP BY z, x >> (20 - z), y >> (20 - z)
+""".replace("{TX}", C.tile_x_sql(_LON, 20)).replace(
+        "{TY}", C.tile_y_sql(_LAT, 20)))
+def geo_tile_pyramid(spark, sf_dir):
+    """Tile-pyramid rollup (operators/raster.py::tile_pyramid): the
+    zoom-20 orders density grid rolled up through every level to zoom 14
+    by ITERATIVE HALVING (each level aggregates the previous one — a
+    geometric ~1.33x of the leaf agg, not levels x leaf). The oracle
+    derives every level directly from the leaf grid with bit-shift
+    GROUP BYs, so the hash compare proves the incremental rollup equals
+    the declarative definition at all 7 levels."""
+    from geoutils_spark.operators import raster as RA
+
+    occ = RA.grid_occupancy(_orders_points(spark, sf_dir), "lon", "lat",
+                            zoom=20, min_count=1)
+    return RA.tile_pyramid(occ, zoom=20, zoom_min=14)
+
+
 from geoutils_spark.operators import retrieval as RT  # noqa: E402
 
 _BM25_QUERIES = [

@@ -65,3 +65,16 @@ def test_long_snake_converges(spark):
     assert len(out) == 1
     assert out[0]["n_cells"] == 22
     assert out[0]["region_id"] == 2 * N + 0
+
+
+def test_tile_pyramid_rollup(spark):
+    occ = _occ(spark, [(0, 0, 1), (1, 0, 2), (0, 1, 4), (3, 3, 8),
+                       (15, 15, 16)])
+    out = RA.tile_pyramid(occ, zoom=Z, zoom_min=0).toPandas()
+    by_zoom = out.groupby("zoom")["n"].sum()
+    assert (by_zoom == 31).all()             # mass conserved at every level
+    assert sorted(out["zoom"].unique()) == [0, 1, 2, 3, 4]
+    top = out[out["zoom"] == 0]
+    assert len(top) == 1 and top.iloc[0]["n"] == 31
+    l3 = out[out["zoom"] == 3].set_index(["x", "y"])["n"]
+    assert l3[(0, 0)] == 7 and l3[(1, 1)] == 8 and l3[(7, 7)] == 16
