@@ -285,9 +285,25 @@ def prepare_corpus(docs: DataFrame, benchmarks: DataFrame,
                    min_jaccard: float = 0.7,
                    collect_counts: bool = True,
                    storage_level: "StorageLevel | None" = None,
+                   nfc_normalize: bool = False,
+                   line_dedup_sep: str | None = None,
+                   classifier_weights: "DataFrame | None" = None,
+                   classifier_threshold: int = 0,
                    ) -> tuple[DataFrame, dict]:
     """The full chain. Returns (final corpus with lang_pred/n_pii/split
     columns, per-stage survivor counts).
+
+    Optional r4 stages (all default OFF, leaving the pinned 6-stage
+    funnel oracle and scan-once probe untouched): ``nfc_normalize`` runs
+    Unicode NFC + whitespace/control cleanup fused into the stage-1 scan
+    (row-local, no extra boundary); ``classifier_weights`` adds the
+    hashed-linear model gate after the rules gate (broadcast model, per-doc
+    scores rejoin through one by-id exchange, ``score`` column kept);
+    ``line_dedup_sep`` adds within-document boilerplate-line dedup before
+    exact dedup so content hashes see cleaned text (zero-exchange,
+    ``n_lines``/``n_dupes`` columns kept). The FineWeb-style full ordering
+    is: normalize -> rules gate -> redact -> classifier gate -> line dedup
+    -> exact dedup -> near dedup -> decontaminate -> split.
 
     Single-pass execution (r3 VERDICT/ADVICE item): every stage boundary
     is ``persist()``-ed (default ``DISK_ONLY`` — the 100 TB choice: one
@@ -335,21 +351,50 @@ def prepare_corpus(docs: DataFrame, benchmarks: DataFrame,
         cached.append(df)
         return df
 
+    # optional stage 0 (r4, FineWeb-style extras — default OFF so the
+    # pinned 6-stage funnel oracle and scan-once probe are untouched):
+    # NFC normalize is row-local and 1:1, so it fuses into the stage-1
+    # scan without its own boundary.
+    if nfc_normalize:
+        from geoutils_spark.functions import textnorm as TN
+
+        others = [c for c in docs.columns if c != "text"]
+        docs = docs.select(*others,
+                           TN.normalize_col(F.col("text")).alias("text"))
+
     # stage 1+2 share a boundary: both row-local, nothing between them
     # branches, and redact is 1:1 so this count IS the after-quality count.
     d = boundary(redact(quality_gate(docs, min_tokens=min_tokens)),
                  "after_quality")
     if collect_counts:
         counts["input"] = int(obs_in.get["n_input"])
+    key_order = ["input", "after_quality"]
+    # optional model-based quality gate (classifier inference over hashed
+    # bag-of-words with an explicitly broadcast MODEL; the per-doc score
+    # table rejoins the payload through one by-id exchange — the same
+    # join-back shape as the LSH survivor rule, NEVER a broadcast of a
+    # corpus-sized table)
+    if classifier_weights is not None:
+        from geoutils_spark.operators import classifier as CL
+
+        scores = CL.score_broadcast(
+            d, classifier_weights, threshold=classifier_threshold
+        ).filter(F.col("keep")).select("doc_id", "score")
+        d = boundary(d.join(scores, "doc_id"), "after_classifier")
+        key_order.append("after_classifier")
+    # optional within-document boilerplate-line dedup (zero-exchange,
+    # row-local) BEFORE exact dedup so content hashes see cleaned text
+    if line_dedup_sep is not None:
+        d = boundary(dedup_lines(d, sep=line_dedup_sep), "after_line_dedup")
+        key_order.append("after_line_dedup")
     d = boundary(dedup_exact(d), "after_exact_dedup")
     d = boundary(dedup_near(d, min_est_jaccard=min_est_jaccard,
                             min_jaccard=min_jaccard), "after_near_dedup")
     d = boundary(decontaminate(d, benchmarks), "after_decontaminate")
     if collect_counts:
         # stage order in the dict mirrors the funnel
-        counts = {k: counts[k] for k in (
-            "input", "after_quality", "after_exact_dedup",
-            "after_near_dedup", "after_decontaminate")}
+        counts = {k: counts[k] for k in key_order + [
+            "after_exact_dedup", "after_near_dedup", "after_decontaminate"]}
         for c in cached[:-1]:  # final stage stays cached for the caller
             c.unpersist(blocking=False)
     return hash_split(d), counts

@@ -54,6 +54,17 @@ def main() -> None:
     ap.add_argument("--no-counts", action="store_true",
                     help="skip per-stage survivor counters (stages still "
                     "persist; the write is the only consumer action)")
+    ap.add_argument("--nfc", action="store_true",
+                    help="NFC + whitespace/control normalize the text "
+                    "before the quality gate (fuses into the stage-1 scan)")
+    ap.add_argument("--line-dedup-sep", default=None,
+                    help="within-document boilerplate-line dedup on this "
+                    "separator before exact dedup (e.g. $'\n')")
+    ap.add_argument("--classifier-buckets", type=int, default=0,
+                    help="enable the hashed-linear quality-classifier gate "
+                    "with a synthetic weight table of this many buckets "
+                    "(a real deployment loads learned weights instead)")
+    ap.add_argument("--classifier-threshold", type=int, default=0)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -79,11 +90,21 @@ def main() -> None:
 
         benchmarks = fixtures.benchmark_docs_df(spark)
 
+    weights = None
+    if args.classifier_buckets:
+        from geoutils_spark.operators import classifier as CL
+
+        weights = CL.synthetic_weights_df(spark, args.classifier_buckets)
+
     kept, counts = prepare_corpus(
         docs, benchmarks,
         min_est_jaccard=args.min_est_jaccard,
         min_jaccard=args.min_jaccard,
-        collect_counts=not args.no_counts)
+        collect_counts=not args.no_counts,
+        nfc_normalize=args.nfc,
+        line_dedup_sep=args.line_dedup_sep,
+        classifier_weights=weights,
+        classifier_threshold=args.classifier_threshold)
 
     if args.out:
         from geoutils_spark.plans.manifests import write_with_manifests

@@ -253,3 +253,34 @@ def test_pack_sequences_layout(spark):
     a = out.sort_values("doc_id").reset_index(drop=True)
     b = out2.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_prepare_corpus_optional_stages(spark):
+    """The r4 opt-in stages (NFC normalize, classifier gate, line dedup)
+    slot into the funnel without disturbing the core chain: counts stay
+    monotone with the new keys in order, the classifier stage actually
+    drops docs, and the output carries the stage annotations."""
+    from geoutils_spark.operators import classifier as CL
+
+    docs = fixtures.corpus_smoke_df(spark, 2000)
+    benchmarks = fixtures.benchmark_docs_df(spark)
+    w = CL.synthetic_weights_df(spark, n_buckets=1 << 12)
+    kept, counts = CP.prepare_corpus(
+        docs, benchmarks, nfc_normalize=True, line_dedup_sep=" ",
+        classifier_weights=w, classifier_threshold=1,
+    )
+    assert list(counts) == [
+        "input", "after_quality", "after_classifier", "after_line_dedup",
+        "after_exact_dedup", "after_near_dedup", "after_decontaminate"]
+    assert (counts["after_quality"] >= counts["after_classifier"]
+            >= counts["after_exact_dedup"] >= counts["after_near_dedup"]
+            >= counts["after_decontaminate"] > 0)
+    # threshold 1 with mean-zero weights must drop a nonzero share
+    assert counts["after_classifier"] < counts["after_quality"]
+    # line dedup is 1:1 on rows
+    assert counts["after_line_dedup"] == counts["after_classifier"]
+    cols = set(kept.columns)
+    assert {"doc_id", "text", "lang_pred", "n_pii", "score",
+            "n_lines", "n_dupes", "split"} <= cols
+    rows = kept.limit(5).collect()
+    assert all(r["score"] >= 1 for r in rows)
