@@ -90,6 +90,8 @@ EXTRA = [
     "text_classifier_score",
     "geo_raster_regions",
     "geo_tile_pyramid",
+    "rel_pivot",
+    "rel_unpivot",
 ]
 
 

@@ -3997,6 +3997,67 @@ def geo_tile_pyramid(spark, sf_dir):
     return RA.tile_pyramid(occ, zoom=20, zoom_min=14)
 
 
+@register("rel_pivot", f"""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(l_quantity AS {_D}) END) AS DOUBLE)
+               AS f_sum_qty,
+           CAST(COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT)
+               AS f_n,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(l_quantity AS {_D}) END) AS DOUBLE)
+               AS o_sum_qty,
+           CAST(COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT)
+               AS o_n
+    FROM lineitem GROUP BY l_returnflag
+""")
+def rel_pivot(spark, sf_dir):
+    """Pivot (wide aggregation): lineitem status columns per returnflag
+    via Spark's native `groupBy().pivot(values=...)` — with the value
+    list EXPLICIT, so Catalyst plans ONE pass (no values-discovery job)
+    and the pivot compiles to the same conditional-aggregate shape the
+    oracle spells out as CASE WHEN sums. DECIMAL sums for partition-order
+    independence, DOUBLE out. Missing (flag,status) combos surface as
+    NULL sums / 0 counts in both dialects."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (li.groupBy("l_returnflag")
+         .pivot("l_linestatus", ["F", "O"])
+         .agg(F.sum(F.col("l_quantity").cast(_D)).cast("double")
+              .alias("sum_qty"),
+              F.count(F.lit(1)).alias("n")))
+    # pivot COUNT yields NULL for an empty (flag, status) combo where
+    # COUNT(CASE ...) yields 0 — coalesce so the dialects agree even on
+    # fixtures where a combo is absent (sums stay NULL in both).
+    return p.select(
+        "l_returnflag",
+        F.col("F_sum_qty").alias("f_sum_qty"),
+        F.coalesce(F.col("F_n"), F.lit(0)).cast("long").alias("f_n"),
+        F.col("O_sum_qty").alias("o_sum_qty"),
+        F.coalesce(F.col("O_n"), F.lit(0)).cast("long").alias("o_n"),
+    )
+
+
+@register("rel_unpivot", """
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE)
+    FROM part
+""")
+def rel_unpivot(spark, sf_dir):
+    """Unpivot/melt (the long-format inverse): part metrics stacked to
+    (key, metric, value) rows via Spark's native `unpivot` — row-local
+    array-explode under the hood, zero exchanges at any size; the oracle
+    is the equivalent UNION ALL of per-column selects."""
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    )
+    return part.unpivot(["p_partkey"], ["p_size", "p_retailprice"],
+                        "metric", "value")
+
+
 from geoutils_spark.operators import retrieval as RT  # noqa: E402
 
 _BM25_QUERIES = [
