@@ -114,6 +114,11 @@ def main() -> int:
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--keep-input", action="store_true")
+    ap.add_argument("--high-first", action="store_true",
+                    help="run the local[high] leg before local[low] — "
+                         "host-noise bursts on this VM tend to arrive a "
+                         "few minutes into a run and repeatedly hit the "
+                         "second leg; order does not change the math")
     ap.add_argument("--reuse-input", action="store_true",
                     help="skip materialization if dist/bench_pages already "
                          "exists (pair with --keep-input: the ~7-min "
@@ -137,7 +142,9 @@ def main() -> int:
         materialize_pages(args.pages, input_path)
 
     results = {}
-    for cores in (args.low, args.high):
+    order = ((args.high, args.low) if args.high_first
+             else (args.low, args.high))
+    for cores in order:
         cpu_list = f"0-{cores - 1}"
         r = run_once(cores, cpu_list, input_path, args.reps, zip_path)
         results[cores] = r
