@@ -92,6 +92,7 @@ EXTRA = [
     "geo_tile_pyramid",
     "rel_pivot",
     "rel_unpivot",
+    "dedup_jaccard_exact",
 ]
 
 

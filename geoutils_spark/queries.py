@@ -4058,6 +4058,34 @@ def rel_unpivot(spark, sf_dir):
                         "metric", "value")
 
 
+@register("dedup_jaccard_exact", f"""
+    WITH sh AS (
+        SELECT doc_id, {{SH}} AS s FROM documents
+    ),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.s, b.s)) AS i,
+               len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(i AS BIGINT) AS inter_size,
+           CAST(u AS BIGINT) AS union_size
+    FROM p WHERE i > 0 AND i * 10 >= u * 7
+""".replace("{SH}", TA.word_shingles_sql("text", 3)))
+def dedup_jaccard_exact(spark, sf_dir):
+    """EXACT Jaccard >= 0.7 similarity self-join
+    (operators/simjoin.py::jaccard_prefix_join, PPJoin-style prefix
+    filtering under a rarity order): the dedup ladder's zero-recall-loss
+    rung between hash-exact and MinHash/LSH. The oracle is the O(n^2)
+    brute force, so the hash compare doubles as an empirical proof that
+    the prefix filter dropped no qualifying pair. All threshold math is
+    integer (inter*10 >= union*7) — bit-exact across dialects."""
+    from geoutils_spark.operators import simjoin as SJ
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return SJ.jaccard_prefix_join(d, k_shingle=3, t_num=7, t_den=10)
+
+
 from geoutils_spark.operators import retrieval as RT  # noqa: E402
 
 _BM25_QUERIES = [
