@@ -289,6 +289,7 @@ def prepare_corpus(docs: DataFrame, benchmarks: DataFrame,
                    line_dedup_sep: str | None = None,
                    classifier_weights: "DataFrame | None" = None,
                    classifier_threshold: int = 0,
+                   classifier_n_buckets: int | None = None,
                    ) -> tuple[DataFrame, dict]:
     """The full chain. Returns (final corpus with lang_pred/n_pii/split
     columns, per-stage survivor counts).
@@ -377,8 +378,21 @@ def prepare_corpus(docs: DataFrame, benchmarks: DataFrame,
     if classifier_weights is not None:
         from geoutils_spark.operators import classifier as CL
 
+        # Token buckets MUST hash into the same space the weights were
+        # trained for — scoring a 2^12-bucket model in the default 2^18
+        # space silently maps most tokens to absent buckets (score 0) and
+        # the rest to the wrong weights. Callers that know the model size
+        # pass it; otherwise infer it once from the (small, broadcastable)
+        # weights table as max(bucket)+1 — exact for synthetic_weights_df
+        # and any dense table, and an upper bound that preserves hash
+        # parity only when it equals the true modulus, so prefer explicit.
+        if classifier_n_buckets is None:
+            classifier_n_buckets = int(
+                classifier_weights.agg(
+                    F.max("bucket").cast("long")).first()[0]) + 1
         scores = CL.score_broadcast(
-            d, classifier_weights, threshold=classifier_threshold
+            d, classifier_weights, n_buckets=classifier_n_buckets,
+            threshold=classifier_threshold
         ).filter(F.col("keep")).select("doc_id", "score")
         d = boundary(d.join(scores, "doc_id"), "after_classifier")
         key_order.append("after_classifier")

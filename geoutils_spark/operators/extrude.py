@@ -138,8 +138,11 @@ def _extrude_attr_batch(pdf: pd.DataFrame, uv_scale: float) -> pd.DataFrame:
         ny = np.concatenate([np.zeros(k), np.zeros(k), sny])
         nz = np.concatenate([-np.ones(k), np.ones(k), np.zeros(4 * k)])
         if uv_scale != 0.0:
-            u = np.round(el / uv_scale)
-            v = round(h / uv_scale)
+            # half-away-from-zero (floor(x+0.5) — args are nonnegative) to
+            # match C++ round() and the DuckDB oracle's ROUND; np.round /
+            # round are half-to-even and diverge on exact .5 ratios
+            u = np.floor(el / uv_scale + 0.5)
+            v = float(np.floor(h / uv_scale + 0.5))
             su = np.stack([u, np.zeros(k), np.zeros(k), u], axis=1).ravel()
             sv = np.tile([v, v, 0.0, 0.0], k)
             tu = np.concatenate([np.zeros(2 * k), su])

@@ -17,6 +17,15 @@ discipline):
   at-least-once replay of a committed batch is a no-op (appends become
   effectively exactly-once).
 
+Crash-atomicity ordering (r5 ADVICE): within a batch the appends run
+``changes`` -> ``snaps`` -> marker. The order matters because a replay
+derives ``improved`` from the CURRENT store: once winners reach ``snaps``
+the replay's improved set is empty, so any log not yet written at crash
+time would be lost forever. With changes first, the only crash window
+that double-appends (after changes, before snaps) replays to a
+byte-identical changes append — ``changes()`` collapses it with
+``dropDuplicates`` — and ``snaps`` is written at most once.
+
 Per batch: (1) ``keep_latest(batch)`` — partial-aggregating max_by, so a
 crawler-trap URL recrawled 10^6 times inside one batch costs one row per
 task; (2) previous winners for ONLY the batch's keys via a broadcast
@@ -92,9 +101,17 @@ class LatestKeeper:
                     | (F.struct(ts, i) > F.col("__prev")))
             .select(k, *payload)
         )
-        improved.write.mode("append").parquet(self._snaps)
+        # changes BEFORE snaps: once a winner lands in snaps the replay
+        # recomputes improved as empty (stored winner ties, strict >), so
+        # a crash in the snaps->changes window would lose those CDC rows
+        # forever. In the changes->snaps order a crash replays to a
+        # byte-identical second append (store unchanged => same improved),
+        # which changes() collapses with dropDuplicates — effectively
+        # exactly-once for both logs.
+        improved = improved.localCheckpoint()  # one compute, two appends
         improved.withColumn("batch_id", F.lit(int(batch_id))) \
             .write.mode("append").parquet(self._changes)
+        improved.write.mode("append").parquet(self._snaps)
         spark.createDataFrame([(int(batch_id),)], "batch_id long") \
             .write.mode("append").parquet(self._marks)
         if self._schema is None:
@@ -110,9 +127,12 @@ class LatestKeeper:
                            id_col=self.id_col).drop("n_snapshots")
 
     def changes(self, spark: SparkSession) -> DataFrame:
+        # dropDuplicates absorbs the one legal duplicate: a crash between
+        # the changes append and the snaps append replays the batch with
+        # an unchanged store, producing a byte-identical second append.
         return self._read(spark, self._changes,
                           (self._schema or "url_key string")
-                          + ", batch_id long")
+                          + ", batch_id long").dropDuplicates()
 
     def compact(self, spark: SparkSession) -> None:
         """Rewrite snaps to one row per key (drop beaten history)."""

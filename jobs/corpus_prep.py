@@ -104,7 +104,8 @@ def main() -> None:
         nfc_normalize=args.nfc,
         line_dedup_sep=args.line_dedup_sep,
         classifier_weights=weights,
-        classifier_threshold=args.classifier_threshold)
+        classifier_threshold=args.classifier_threshold,
+        classifier_n_buckets=args.classifier_buckets or None)
 
     if args.out:
         from geoutils_spark.plans.manifests import write_with_manifests

@@ -284,3 +284,38 @@ def test_prepare_corpus_optional_stages(spark):
             "n_lines", "n_dupes", "split"} <= cols
     rows = kept.limit(5).collect()
     assert all(r["score"] >= 1 for r in rows)
+
+
+def test_prepare_corpus_classifier_bucket_space(spark):
+    """r5 ADVICE (corpus.py classifier gate): scoring must hash tokens
+    into the WEIGHT TABLE's bucket space, not the 2^18 default. With a
+    2^12 model, the funnel's per-doc scores must equal the independent
+    zero-join row-local path evaluated at n_buckets=2^12 on the same
+    gated+redacted text — pre-fix they disagreed on nearly every doc
+    (tokens hashed to 2^18 buckets mostly absent from the table)."""
+    from geoutils_spark.operators import classifier as CL
+
+    nb = 1 << 12
+    docs = fixtures.corpus_smoke_df(spark, 1500)
+    benchmarks = fixtures.benchmark_docs_df(spark)
+    w = CL.synthetic_weights_df(spark, n_buckets=nb)
+
+    gated = CP.redact(CP.quality_gate(docs))
+    expected = {
+        r["doc_id"]: r["score"]
+        for r in CL.score_rowlocal(gated, n_buckets=nb, threshold=1)
+        .filter("keep").collect()
+    }
+    assert expected, "fixture must keep some docs"
+
+    # explicit n_buckets and inferred-from-table must both agree with it
+    for kw in ({"classifier_n_buckets": nb}, {}):
+        kept, _ = CP.prepare_corpus(
+            docs, benchmarks, classifier_weights=w,
+            classifier_threshold=1, collect_counts=False, **kw)
+        got = {r["doc_id"]: r["score"]
+               for r in kept.select("doc_id", "score").collect()}
+        assert got  # funnel keeps survivors
+        for doc_id, score in got.items():
+            assert expected[doc_id] == score, (kw, doc_id)
+        spark.catalog.clearCache()

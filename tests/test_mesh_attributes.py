@@ -305,3 +305,27 @@ def test_round_join_through_dataframe(spark):
                          with_attributes=True).collect()[0]
     assert m["n_faces"] == 1 and m["faces"][0] == list(range(m["n_vertices"]))
     assert m["nz"] == [1.0] * m["n_vertices"] and len(m["tu"]) == 0
+
+
+def test_extrude_uv_rounding_half_away_from_zero(spark):
+    """r5 ADVICE (extrude.py UV rounding): the reference's C++ round()
+    and the DuckDB oracle's ROUND are half-away-from-zero; numpy's
+    np.round is half-to-even. A unit square with height 1.25 at
+    uv_scale=0.5 puts both ratios exactly on x.5: edge 1.0/0.5 = 2.0
+    (unambiguous) but height 1.25/0.5 = 2.5 -> MUST round to 3 (banker's
+    gives 2); a 1.25-long edge likewise hits u = 2.5 -> 3."""
+    ring = [(0.0, 0.0), (1.25, 0.0), (1.25, 1.0), (0.0, 1.0), (0.0, 0.0)]
+    df = spark.createDataFrame(
+        [(1, [{"lon": x, "lat": y} for x, y in ring], 1.25)],
+        "way_id long, ring array<struct<lon:double,lat:double>>,"
+        " height double")
+    m = extrude_polygons(df, "height", with_attributes=True,
+                         uv_scale=0.5).collect()[0]
+    k = 4
+    side_u = np.asarray(m["tu"][2 * k:]).reshape(k, 4)
+    side_v = np.asarray(m["tv"][2 * k:]).reshape(k, 4)
+    # v = round(1.25/0.5) = round(2.5) -> 3.0 everywhere on the tops
+    assert set(side_v[:, 0]) == {3.0} and set(side_v[:, 1]) == {3.0}
+    # the two 1.25-long edges: u = round(2.5) -> 3.0; unit edges -> 2.0
+    us = sorted(side_u[:, 0])
+    assert us == [2.0, 2.0, 3.0, 3.0], us

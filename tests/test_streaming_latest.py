@@ -72,3 +72,53 @@ def test_store_side_never_shuffles(spark, tmp_path):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_crash_between_changes_and_snaps_is_exactly_once(spark, tmp_path):
+    """r5 ADVICE: the appends run changes -> snaps -> marker. A crash in
+    the middle window must not lose CDC rows (the old snaps-first order
+    did: replay saw the stored winner tie and derived improved = empty)
+    and the replay's byte-identical second changes append must collapse
+    in changes()."""
+    import pytest
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    keeper = LatestKeeper(str(tmp_path / "store"))
+    b0 = _b(spark, [("a", 1, 100, "a1"), ("b", 3, 50, "b3")])
+    keeper.process_batch(b0, 0)
+    b1 = _b(spark, [("a", 4, 200, "a4"), ("c", 6, 10, "c6")])
+
+    real = DataFrameWriter.parquet
+    def crash_on_snaps(self, path, *a, **kw):
+        if path.endswith("snaps"):
+            raise RuntimeError("simulated crash before snaps append")
+        return real(self, path, *a, **kw)
+
+    DataFrameWriter.parquet = crash_on_snaps
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            keeper.process_batch(b1, 1)
+    finally:
+        DataFrameWriter.parquet = real
+
+    # pre-replay state: changes landed, snaps + marker did not
+    raw_changes = spark.read.parquet(str(tmp_path / "store" / "changes"))
+    assert raw_changes.filter("batch_id = 1").count() == 2
+    assert spark.read.parquet(
+        str(tmp_path / "store" / "snaps")).count() == 2  # batch 0 only
+
+    keeper.process_batch(b1, 1)  # the at-least-once replay
+
+    # snaps exactly once; raw changes holds the duplicate pair; the
+    # changes() view collapses it
+    assert spark.read.parquet(
+        str(tmp_path / "store" / "snaps")).count() == 4
+    raw_changes = spark.read.parquet(str(tmp_path / "store" / "changes"))
+    assert raw_changes.filter("batch_id = 1").count() == 4
+    ch = keeper.changes(spark)
+    assert ch.filter("batch_id = 1").count() == 2
+    want = _sorted(CP.keep_latest(b0.unionByName(b1)).drop("n_snapshots"))
+    assert _sorted(keeper.current(spark)) == want
+    # a further replay of the committed batch is a no-op
+    keeper.process_batch(b1, 1)
+    assert ch.filter("batch_id = 1").count() == 2
