@@ -4,6 +4,13 @@ values (exact for ints/strings, near-exact report for doubles).
 
 Usage:
     PYTHONPATH=/root/repo python tools/compare_oracle.py [query ...]
+    PYTHONPATH=/root/repo python tools/compare_oracle.py --json OUT.json
+
+--json writes a driver-shaped artifact (one object per query with
+rows_match/schema_match/hash_match/spark_rows/oracle_rows/err) covering
+EVERY registered query, so a round's correctness snapshot can evidence
+the full surface rather than the driver's sample. Oracle-less queries
+record hash_match=null (rows-only).
 """
 
 from __future__ import annotations
@@ -81,7 +88,14 @@ def main():
 
     qs = E.queries()
     oracles = E.oracle_sql()
-    only = sys.argv[1:]
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    only = args
+    artifact: dict[str, dict] = {}
     n_pass = n_fail = n_weak = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -91,20 +105,36 @@ def main():
             sdf = fn(spark, SF_DIR).toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            artifact[name] = {"rows_match": False, "schema_match": False,
+                              "hash_match": False, "spark_rows": None,
+                              "oracle_rows": None, "err": f"spark: {e}"}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"WEAK {name}: rows={len(sdf)} (no oracle, rows-only)")
+            artifact[name] = {"rows_match": len(sdf) > 0,
+                              "schema_match": True, "hash_match": None,
+                              "spark_rows": len(sdf), "oracle_rows": None,
+                              "err": None}
             n_weak += 1
             continue
         try:
             ddf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            artifact[name] = {"rows_match": False, "schema_match": False,
+                              "hash_match": False, "spark_rows": len(sdf),
+                              "oracle_rows": None, "err": f"duckdb: {e}"}
             n_fail += 1
             continue
         problems = compare(name, sdf, ddf)
         dt = time.time() - t0
+        artifact[name] = {
+            "rows_match": len(sdf) == len(ddf),
+            "schema_match": sorted(sdf.columns) == sorted(ddf.columns),
+            "hash_match": not problems,
+            "spark_rows": len(sdf), "oracle_rows": len(ddf), "err": None,
+        }
         if problems:
             print(f"FAIL {name} ({dt:.1f}s): " + "; ".join(problems))
             n_fail += 1
@@ -112,6 +142,12 @@ def main():
             print(f"PASS {name} ({dt:.1f}s): rows={len(sdf)}")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(artifact, f, indent=2)
+        print(f"wrote {json_out} ({len(artifact)} queries)")
     spark.stop()
     sys.exit(1 if n_fail else 0)
 
