@@ -19,7 +19,7 @@ Dialect-parity notes (verified empirically):
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Shared pattern literals — single source of truth for both dialects.
@@ -110,3 +110,64 @@ def url_normalize_sql(url: str) -> str:
     rest = f"substring({nofrag}, length({head}) + 1)"
     norm = f"concat(lower({head}), {rest})"
     return f"regexp_replace({norm}, '(.)/$', '\\1')"
+
+
+# ---------------------------------------------------------------------------
+# Domain blocklist filtering (r5)
+# ---------------------------------------------------------------------------
+
+def host_suffixes_col(host: Column) -> Column:
+    """All dot-suffixes of a lowercased host, most-specific first:
+    ``a.b.c.example`` -> [a.b.c.example, b.c.example, c.example, example].
+
+    This is how a blocklist matches SUBDOMAINS at scale: instead of a
+    non-equi ``endswith`` join (NestedLoop — quadratic), each host
+    explodes into at most its label count (bounded ~10 by DNS rules) and
+    the blocklist match becomes a plain equi-join. Row-local codegen.
+    """
+    labels = F.split(F.lower(host), "\\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
+    )
+
+
+def host_suffixes_sql(host: str) -> str:
+    labels = f"string_split(lower({host}), '.')"
+    return (f"list_transform(range(1, len({labels}) + 1), "
+            f"i -> list_aggregate({labels}[i:], 'string_agg', '.'))")
+
+
+def blocklist_flag_col(host: Column, domains: "list[str]") -> Column:
+    """Row-local blocked? flag for a LITERAL blocklist (zero shuffles —
+    the list folds into codegen as an array literal). Right for small
+    curated lists; for millions of domains use ``blocklist_filter``."""
+    blocked = F.array(*[F.lit(d.lower()) for d in domains])
+    return F.arrays_overlap(host_suffixes_col(host), blocked)
+
+
+def blocklist_filter(docs: DataFrame, blocked: DataFrame,
+                     url_col: str = "url", id_col: str = "doc_id",
+                     invert: bool = False) -> DataFrame:
+    """Drop documents whose URL host (or any parent domain) appears in a
+    blocklist TABLE — the C4/RefinedWeb URL-filter stage at real-blocklist
+    scale (UT1-style lists run to millions of domains).
+
+    Plan: the corpus explodes to (id, host-suffix) pairs — ids only,
+    bounded ~10x by DNS label counts, never payload text — the blocklist
+    broadcasts into an equi-semi-join (subdomain matching WITHOUT an
+    endswith NestedLoop), and the surviving/blocked ids anti/semi-join
+    back onto the source scan. One corpus-payload-free broadcast chain;
+    the corpus itself never shuffles. ``blocked`` must have a ``domain``
+    column; ``invert=True`` keeps only the blocked docs (audit mode).
+    """
+    sufx = docs.select(
+        F.col(id_col),
+        F.explode(host_suffixes_col(url_host_col(F.col(url_col))))
+        .alias("__sfx"))
+    dom = blocked.select(F.lower(F.col("domain")).alias("__sfx"))
+    bad_ids = sufx.join(F.broadcast(dom), "__sfx", "leftsemi") \
+        .select(id_col).distinct()
+    how = "leftsemi" if invert else "leftanti"
+    return docs.join(F.broadcast(bad_ids), id_col, how)

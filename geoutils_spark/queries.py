@@ -4133,3 +4133,66 @@ def web_bloom_membership(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id")
     crawl_a = d.filter(F.col("doc_id") % 2 == 0)
     return SK.bloom_contains(SK.bloom_build(crawl_a, "doc_id"), d, "doc_id")
+
+
+from geoutils_spark.operators import importance as IM  # noqa: E402
+
+
+@register("text_importance_sample", IM.importance_topk_sql(
+    "documents", "(SELECT * FROM documents WHERE source = 'src7')",
+    k=100, n_buckets=1 << 14))
+def text_importance_sample(spark, sf_dir):
+    """DSIR-style importance sampling (operators/importance.py, after
+    Xie et al. NeurIPS 2023): treat the src7 slice as the TARGET domain,
+    hash every doc's unigrams+bigrams into 2^14 buckets, form the
+    Laplace-smoothed integer-quantized target/raw bucket ratio, score
+    each corpus doc by the sum of ratios over its feature occurrences,
+    and keep the deterministic top-100 — the published pre-training
+    data-selection recipe with the repo's exact-BIGINT parity rules
+    (ranking-invariant constant dropped instead of libm logs). Plan:
+    both distribution aggs partial-combine (raw exchange <= 2^14 rows),
+    the ratio table broadcasts, the per-doc agg ships ids+sums only,
+    and TakeOrdered merges k rows per partition at the driver — no
+    corpus payload ever crosses the wire."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    target = d.filter(F.col("source") == "src7")
+    return IM.importance_topk(d, target, k=100, n_buckets=1 << 14)
+
+
+_BLOCKLIST = ["site7.example", "site250.example", "sub3.site13.example",
+              "SITE42.example", "tracker.invalid"]
+_BLOCKLIST_VALUES = ", ".join(f"('{d}')" for d in _BLOCKLIST)
+
+
+@register("web_blocklist_filter", f"""
+    WITH docs AS ({_DOCS_URLS_SQL}),
+    hosts AS (
+      SELECT doc_id, url, {U.url_host_sql('url')} AS host FROM docs
+    ),
+    sfx AS (
+      SELECT doc_id, unnest({U.host_suffixes_sql('host')}) AS __sfx
+      FROM hosts
+    ),
+    blocked(domain) AS (VALUES {_BLOCKLIST_VALUES}),
+    bad AS (
+      SELECT DISTINCT s.doc_id
+      FROM sfx s JOIN blocked b ON s.__sfx = lower(b.domain)
+    )
+    SELECT doc_id, url FROM docs
+    WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+    """)
+def web_blocklist_filter(spark, sf_dir):
+    """C4/RefinedWeb URL-blocklist stage (functions/urls.py
+    blocklist_filter): drop documents whose host OR ANY PARENT DOMAIN
+    appears in a blocklist table — subdomain matching without an
+    endswith NestedLoop. Each host explodes into its <=10 dot-suffixes
+    (row-local codegen, ids only), the blocklist broadcasts into an
+    equi-semi-join, and the blocked ids broadcast-anti-join back onto
+    the source scan — the corpus payload never shuffles, so a UT1-scale
+    list over 10^12 pages costs one scan plus two broadcasts. The
+    fixture list exercises registered-domain, exact-host, mixed-case,
+    and no-match entries."""
+    d = _docs_with_urls(spark, sf_dir)
+    blocked = spark.createDataFrame([(x,) for x in _BLOCKLIST],
+                                    "domain string")
+    return U.blocklist_filter(d, blocked).select("doc_id", "url")

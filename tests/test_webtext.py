@@ -109,3 +109,47 @@ def test_pii_email_swallows_before_phone(spark):
     # redaction order email-first: the email's domain dots never get
     # mistaken for an IP fragment
     assert _one(spark, "x a1@2.3.co y", PII.redact_col) == "x <EMAIL> y"
+
+
+# ----------------------------------------------------------------- blocklist
+
+def test_host_suffixes(spark):
+    out = _one(spark, "a.B.c.Example", U.host_suffixes_col)
+    assert out == ["a.b.c.example", "b.c.example", "c.example", "example"]
+    assert _one(spark, "localhost", U.host_suffixes_col) == ["localhost"]
+
+
+def test_blocklist_filter_subdomain_case_invert(spark):
+    d = spark.createDataFrame(
+        [(1, "https://ads.tracker.example/x"),
+         (2, "https://news.example.org/story"),
+         (3, "http://TRACKER.example/y"),
+         (4, "https://example.com/"),
+         (5, "not a url")],
+        "doc_id long, url string")
+    blocked = spark.createDataFrame([("tracker.example",), ("SPAM.net",)],
+                                    "domain string")
+    kept = sorted(r["doc_id"] for r in
+                  U.blocklist_filter(d, blocked).collect())
+    assert kept == [2, 4, 5]  # 1 via subdomain suffix, 3 via lowercase
+    audit = sorted(r["doc_id"] for r in
+                   U.blocklist_filter(d, blocked, invert=True).collect())
+    assert audit == [1, 3]
+    # empty blocklist keeps everything
+    empty = spark.createDataFrame([], "domain string")
+    assert U.blocklist_filter(d, empty).count() == 5
+    # literal-list row-local twin agrees
+    flag = d.select("doc_id", U.blocklist_flag_col(
+        U.url_host_col(F.col("url")),
+        ["tracker.example", "spam.net"]).alias("b")).collect()
+    assert sorted(r["doc_id"] for r in flag if r["b"]) == [1, 3]
+
+
+def test_blocklist_filter_plan_broadcast_only(spark):
+    d = spark.createDataFrame([(i, f"https://h{i}.example/") for i in
+                               range(20)], "doc_id long, url string")
+    blocked = spark.createDataFrame([("h3.example",)], "domain string")
+    plan = U.blocklist_filter(d, blocked)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
