@@ -4196,3 +4196,27 @@ def web_blocklist_filter(spark, sf_dir):
     blocked = spark.createDataFrame([(x,) for x in _BLOCKLIST],
                                     "domain string")
     return U.blocklist_filter(d, blocked).select("doc_id", "url")
+
+
+from geoutils_spark.operators import exactsubstr as XS  # noqa: E402
+
+
+@register("text_exactsubstr_cut", f"""
+    WITH cut AS ({XS.remove_spans_sql('documents', k=8)})
+    SELECT doc_id, n_tokens, n_removed, text_clean
+    FROM cut WHERE n_removed > 0
+    """)
+def text_exactsubstr_cut(spark, sf_dir):
+    """ExactSubstr span CUTTING (operators/exactsubstr.py, Lee et al.
+    ACL 2022): remove every duplicated >=8-token span from every
+    document — all copies, cross-doc and self-repeats, the released
+    tool's semantics — and return the affected docs with their cleaned
+    text (byte-compared via the driver hash). The span-cut tier above
+    dedup_shingle_coverage's flag-only metric. Plan: the window table
+    ships (id, pos, 60-bit fp) only, its count partial-combines, only
+    the duplicated vocabulary joins back (broadcast survivors), and one
+    by-id equi-join rebuilds text on the source scan with zero-UDF
+    higher-order codegen."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (XS.remove_duplicate_spans(d, k=8)
+            .filter(F.col("n_removed") > 0))
