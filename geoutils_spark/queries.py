@@ -4220,3 +4220,28 @@ def text_exactsubstr_cut(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return (XS.remove_duplicate_spans(d, k=8)
             .filter(F.col("n_removed") > 0))
+
+
+from geoutils_spark.operators import semdedup as SD  # noqa: E402
+
+
+@register("emb_semdedup", f"""
+    WITH corpus AS ({_VECS_MUTANTS_SQL}),
+    out AS ({SD.semdedup_sql('corpus', 'vec_id % 25 = 7', threshold=0.95)})
+    SELECT drop_id, bucket, witness_id, ROUND(cosine, 9) AS cosine_r
+    FROM out
+    """)
+def emb_semdedup(spark, sf_dir):
+    """SemDeDup (operators/semdedup.py, Abbas et al. 2023): semantic
+    dedup confined to nearest-centroid clusters — the embedding-space
+    sibling of the cell-bucketed spatial join. 20 deterministic
+    data-derived centroids broadcast for row-local assignment; the pair
+    join is keyed by cluster id only; keep-lowest-id drop rule with a
+    partial-combining min-struct witness. Exact chain-sum cosine both
+    dialects, so the 0.95 threshold comparison cannot drift."""
+    corpus = _vectors_with_mutants(spark, sf_dir)
+    cents = [(int(r["vec_id"]), [float(x) for x in r["e"]])
+             for r in corpus.filter(F.col("vec_id") % 25 == 7).collect()]
+    out = SD.semdedup_drops(corpus, cents, threshold=0.95)
+    return out.select("drop_id", "bucket", "witness_id",
+                      F.round("cosine", 9).alias("cosine_r"))
