@@ -4245,3 +4245,81 @@ def emb_semdedup(spark, sf_dir):
     out = SD.semdedup_drops(corpus, cents, threshold=0.95)
     return out.select("drop_id", "bucket", "witness_id",
                       F.round("cosine", 9).alias("cosine_r"))
+
+
+from geoutils_spark.functions import hexgrid as HX  # noqa: E402
+
+# anchor for hex-distance exercises: the fixture extent's midpoint,
+# evaluated through the identical point->hex kernel in both dialects
+_HEX_ANCHOR_LON, _HEX_ANCHOR_LAT = -0.08, 51.525
+
+
+@register(
+    "geo_hex_assign",
+    f"""
+    SELECT doc_id,
+           {HX.hex_q_sql(_DLON, _DLAT, 22)} AS hex_q,
+           {HX.hex_r_sql(_DLON, _DLAT, 22)} AS hex_r,
+           {HX.hex_id_sql(_DLON, _DLAT, 22)} AS hex_id,
+           {HX.hex_distance_sql(
+               HX.hex_q_sql(_DLON, _DLAT, 22),
+               HX.hex_r_sql(_DLON, _DLAT, 22),
+               HX.hex_q_sql(_dbl(_HEX_ANCHOR_LON), _dbl(_HEX_ANCHOR_LAT), 22),
+               HX.hex_r_sql(_dbl(_HEX_ANCHOR_LON), _dbl(_HEX_ANCHOR_LAT), 22),
+           )} AS hex_dist
+    FROM documents
+    """,
+)
+def geo_hex_assign(spark, sf_dir):
+    """Hex-grid point index (functions/hexgrid.py) — the H3-style half
+    of the north-star "H3/S2 cells" pair (true S2 is geo_s2_parity):
+    flat-top axial hexes on the Mercator plane, cube-rounded pixel->hex,
+    zigzag-packed BIGINT ids, plus the axial graph distance to a fixed
+    anchor hex. Pure row-local codegen (no UDF, no shuffle, no join);
+    the oracle twin runs the literally identical operation sequence."""
+    df = _documents_points(spark, sf_dir)
+    df = HX.with_hex_cell(df, 22, "lon", "lat")
+    aq, ar = HX.hex_qr_col(F.lit(float(_HEX_ANCHOR_LON)),
+                           F.lit(float(_HEX_ANCHOR_LAT)), 22)
+    return df.select(
+        "doc_id", "hex_q", "hex_r", "hex_id",
+        HX.hex_distance_col(F.col("hex_q"), F.col("hex_r"), aq, ar)
+        .alias("hex_dist"))
+
+
+@register(
+    "geo_hex_histogram",
+    f"""
+    WITH child AS (
+      SELECT {HX.hex_q_sql(_DLON, _DLAT, 22)} AS q,
+             {HX.hex_r_sql(_DLON, _DLAT, 22)} AS r
+      FROM documents
+    ),
+    parent AS (
+      SELECT {HX.hex_pack_sql(
+          HX.hex_parent_qr_sql('q', 'r', 22, 20)[0],
+          HX.hex_parent_qr_sql('q', 'r', 22, 20)[1], 20)} AS parent_hex,
+             q, r
+      FROM child
+    )
+    SELECT parent_hex, COUNT(*) AS n,
+           COUNT(DISTINCT {HX.hex_pack_sql('q', 'r', 22)}) AS n_children
+    FROM parent GROUP BY 1
+    """,
+)
+def geo_hex_histogram(spark, sf_dir):
+    """Hex density rollup: res-22 child hexes -> res-20 parents via
+    center reassignment (hexes don't nest — the standard non-nesting
+    rollup, functions/hexgrid.py hex_parent_col), counting docs and
+    distinct child hexes per parent. One partial-combining exchange on
+    the parent id; the child->parent math never leaves the row."""
+    df = _documents_points(spark, sf_dir)
+    q, r = HX.hex_qr_col(F.col("lon"), F.col("lat"), 22)
+    df = df.select(q.alias("q"), r.alias("r"))
+    pq, pr = HX.hex_parent_col(F.col("q"), F.col("r"), 22, 20)
+    df = df.select(
+        HX.hex_pack_col(pq, pr, 20).alias("parent_hex"),
+        HX.hex_pack_col(F.col("q"), F.col("r"), 22).alias("child_hex"))
+    return df.groupBy("parent_hex").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("child_hex").alias("n_children"))
