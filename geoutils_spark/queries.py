@@ -4323,3 +4323,38 @@ def geo_hex_histogram(spark, sf_dir):
     return df.groupBy("parent_hex").agg(
         F.count("*").alias("n"),
         F.countDistinct("child_hex").alias("n_children"))
+
+
+from geoutils_spark.operators import topk as TK  # noqa: E402
+
+
+@register("web_host_cap", """
+    WITH hosted AS (
+      SELECT doc_id, n_chars,
+             'site' || CAST(doc_id % 13 AS VARCHAR) || '.example' AS host
+      FROM documents
+    )
+    SELECT host, doc_id, n_chars, rank FROM (
+      SELECT host, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY host
+                                ORDER BY n_chars DESC, doc_id ASC) AS rank
+      FROM hosted
+    ) WHERE rank <= 5
+    """)
+def web_host_cap(spark, sf_dir):
+    """FineWeb-style per-host document cap (operators/topk.py): keep
+    the 5 longest docs per host under a total order. NOT a plain
+    window — the salted two-phase selection: phase 1 ranks within
+    (host, xxhash64(doc_id) % n_salt) so a 10^9-doc hot host sorts
+    across n_salt bounded tasks; phase 2 ranks the <= 5*n_salt
+    survivors per host. Exactly equal to the unsalted top-k because
+    the order is total (doc_id tiebreak) — which is what the plain
+    ROW_NUMBER oracle twin checks."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    d = d.withColumn(
+        "host", F.concat(F.lit("site"), (F.col("doc_id") % 13).cast("string"),
+                         F.lit(".example")))
+    out = TK.topk_per_group(
+        d, ["host"], [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        k=5, salt_col=F.col("doc_id"), n_salt=8)
+    return out.select("host", "doc_id", "n_chars", "rank")
