@@ -4358,3 +4358,36 @@ def web_host_cap(spark, sf_dir):
         d, ["host"], [F.col("n_chars").desc(), F.col("doc_id").asc()],
         k=5, salt_col=F.col("doc_id"), n_salt=8)
     return out.select("host", "doc_id", "n_chars", "rank")
+
+
+from geoutils_spark.operators import rank as RK  # noqa: E402
+
+
+@register("text_ccnet_buckets", """
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars ASC, doc_id ASC) AS rank,
+             COUNT(*) OVER (PARTITION BY lang) AS cnt
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, rank,
+           CASE CAST(FLOOR(CAST((rank - 1) * 3 AS DOUBLE) / cnt) AS INT)
+             WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM ranked
+    """)
+def text_ccnet_buckets(spark, sf_dir):
+    """CCNet-style equal-mass quality buckets per language (Wenzek et
+    al. 2020 split each language into head/middle/tail by LM
+    perplexity; operators/rank.py). The rank is computed WITHOUT a
+    whole-language window: approximate percentile edges (performance-
+    only) bin rows order-preservingly, exact per-bin counts cumulate
+    into broadcast rank bases, and the only window runs inside
+    (lang, bin) — bounded tasks, identical answer. The plain
+    ROW_NUMBER oracle twin is the equivalence check."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = RK.group_fraction_buckets(
+        d, ["lang"], F.col("n_chars").cast("double"), F.col("doc_id"),
+        n_buckets=3, labels=["head", "middle", "tail"], n_bins=16)
+    return out.select("doc_id", "lang", "n_chars", "rank", "bucket")
