@@ -4391,3 +4391,83 @@ def text_ccnet_buckets(spark, sf_dir):
         d, ["lang"], F.col("n_chars").cast("double"), F.col("doc_id"),
         n_buckets=3, labels=["head", "middle", "tail"], n_bins=16)
     return out.select("doc_id", "lang", "n_chars", "rank", "bucket")
+
+
+from geoutils_spark.functions import links as LK  # noqa: E402
+
+# deterministic html synth shared by spark/oracle sides: two absolute
+# links (one dead-scheme 1/6), one protocol-relative (1/4), one
+# relative path, one fragment link (1/3)
+_HTML_SYNTH_SQL = """
+      SELECT doc_id,
+             'site' || CAST(doc_id % 23 AS VARCHAR) || '.example' AS host,
+             '<html><body>'
+             || '<a href="https://site' || CAST((doc_id * 3 + 1) % 23 AS VARCHAR)
+             || '.example/a">x</a>'
+             || CASE WHEN doc_id % 6 = 0
+                     THEN '<a href="mailto:a@b.example">m</a>' ELSE '' END
+             || CASE WHEN doc_id % 4 = 0
+                     THEN '<a href="//site' || CAST((doc_id * 5 + 2) % 23 AS VARCHAR)
+                          || '.example/b">y</a>' ELSE '' END
+             || '<a href="/local/page' || CAST(doc_id AS VARCHAR) || '">z</a>'
+             || CASE WHEN doc_id % 3 = 0
+                     THEN '<a href="#sec">s</a>' ELSE '' END
+             || '</body></html>' AS html
+      FROM documents
+"""
+
+
+def _docs_with_html(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    host = F.concat(F.lit("site"), s(i % 23), F.lit(".example"))
+    html = F.concat(
+        F.lit("<html><body>"),
+        F.lit('<a href="https://site'), s((i * 3 + 1) % 23),
+        F.lit('.example/a">x</a>'),
+        F.when(i % 6 == 0, F.lit('<a href="mailto:a@b.example">m</a>'))
+        .otherwise(F.lit("")),
+        F.when(i % 4 == 0,
+               F.concat(F.lit('<a href="//site'), s((i * 5 + 2) % 23),
+                        F.lit('.example/b">y</a>'))).otherwise(F.lit("")),
+        F.lit('<a href="/local/page'), s(i), F.lit('">z</a>'),
+        F.when(i % 3 == 0, F.lit('<a href="#sec">s</a>'))
+        .otherwise(F.lit("")),
+        F.lit("</body></html>"))
+    return d.select("doc_id", host.alias("host"), html.alias("html"))
+
+
+@register("web_link_hostgraph", f"""
+    WITH pages AS ({_HTML_SYNTH_SQL}),
+    links AS (
+      SELECT host AS src,
+             unnest({LK.extract_hrefs_sql('html')}) AS link
+      FROM pages
+    ),
+    resolved AS (
+      SELECT src, {LK.resolve_host_sql('link', 'src')} AS dst FROM links
+    )
+    SELECT src, dst, COUNT(*) AS n
+    FROM resolved WHERE dst <> '' GROUP BY src, dst
+    """)
+def web_link_hostgraph(spark, sf_dir):
+    """Host-level link graph from raw HTML (functions/links.py): one
+    codegen regexp pulls every href, row-local resolution maps
+    absolute/protocol-relative links to their target host and
+    relative/fragment links to the page's own host, dead schemes
+    (mailto/javascript/data) drop. The single exchange is the
+    (src, dst) edge-count aggregation — keyed by host pairs, combining
+    map-side; html payloads never shuffle. Feeds the exact-fixed-point
+    PageRank (web_pagerank) with real edges."""
+    p = _docs_with_html(spark, sf_dir)
+    links = p.select(
+        F.col("host").alias("src"),
+        F.explode(LK.extract_hrefs_col(F.col("html"))).alias("link"))
+    resolved = links.select(
+        "src", LK.resolve_host_col(F.col("link"), F.col("src")).alias("dst"))
+    return (resolved.filter(F.col("dst") != "")
+            .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n")))

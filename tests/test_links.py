@@ -1,0 +1,61 @@
+"""Hyperlink extraction/resolution (functions/links.py): scheme
+handling, relative-link base resolution, duplicate preservation."""
+
+from pyspark.sql import functions as F
+
+from geoutils_spark.functions import links as LK
+
+
+def _resolve(spark, html, base="base.example"):
+    df = spark.createDataFrame([(html, base)], "html string, host string")
+    out = df.select(
+        F.explode(LK.extract_hrefs_col(F.col("html"))).alias("link"))
+    out = out.select(
+        "link",
+        LK.resolve_host_col(F.col("link"), F.lit(base)).alias("dst"))
+    return [(r["link"], r["dst"]) for r in out.collect()]
+
+
+def test_absolute_and_relative(spark):
+    html = ('<a href="https://a.example/x">1</a>'
+            '<a href="http://b.example">2</a>'
+            '<a href="/rooted/path">3</a>'
+            '<a href="rel/page.html">4</a>'
+            '<a href="#frag">5</a>'
+            '<a href="?q=1">6</a>')
+    got = _resolve(spark, html)
+    assert got == [
+        ("https://a.example/x", "a.example"),
+        ("http://b.example", "b.example"),
+        ("/rooted/path", "base.example"),
+        ("rel/page.html", "base.example"),
+        ("#frag", "base.example"),
+        ("?q=1", "base.example"),
+    ]
+
+
+def test_protocol_relative_and_dead_schemes(spark):
+    html = ('<a href="//cdn.example/lib.js">1</a>'
+            '<a href="mailto:x@y.example">2</a>'
+            '<a href="javascript:void(0)">3</a>'
+            '<a href="data:text/plain,hi">4</a>'
+            '<a href="tel:+15551234">5</a>')
+    got = _resolve(spark, html)
+    assert got[0] == ("//cdn.example/lib.js", "cdn.example")
+    assert all(dst == "" for _, dst in got[1:])
+
+
+def test_duplicates_and_order_kept(spark):
+    html = ('<a href="https://a.example/1">x</a>'
+            '<a href="https://a.example/1">x</a>'
+            '<a href="https://b.example/2">y</a>')
+    got = _resolve(spark, html)
+    assert [d for _, d in got] == ["a.example", "a.example", "b.example"]
+
+
+def test_no_links_empty_array(spark):
+    df = spark.createDataFrame([("<html><p>plain</p></html>",)],
+                               "html string")
+    n = df.select(F.size(LK.extract_hrefs_col(F.col("html"))).alias("n")) \
+        .collect()[0]["n"]
+    assert n == 0
