@@ -454,6 +454,12 @@ def cell_sql(lon: str, lat: str, level: int) -> str:
     """Full point->cell encoder as one SQL expression (DuckDB dialect)."""
     x = tile_x_sql(lon, level)
     y = tile_y_sql(lat, level)
+    return cell_from_tile_sql(x, y, level)
+
+
+def cell_from_tile_sql(x: str, y: str, level: int) -> str:
+    """Tile (x, y) -> cell id (DuckDB twin of cell_from_tile_col) —
+    pure integer bit math, for oracles that enumerate tiles directly."""
     morton = f"({_spread_sql(x)} | ({_spread_sql(y)} << 1))"
     s = 2 * (MAX_CELL_LEVEL - level)
     return f"((({morton}) << {s + 1}) | {1 << s})"

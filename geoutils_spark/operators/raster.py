@@ -103,3 +103,36 @@ def raster_regions(occ: DataFrame, zoom: int,
         F.min("x").alias("min_x"), F.max("x").alias("max_x"),
         F.min("y").alias("min_y"), F.max("y").alias("max_y"),
     )
+
+
+def rasterize_polygons(polygons: DataFrame, level: int,
+                       max_cells: int = 4096) -> DataFrame:
+    """Vector -> raster: burn a polygon table onto the level-``level``
+    cell grid by CENTER SAMPLING (a cell is covered iff its center is
+    inside the polygon — GDAL rasterize's default rule), returning one
+    row per occupied cell: (cell_id, n_polys, min_way_id).
+
+    The inverse of ``raster_regions``; reference parity is the split
+    side of the tiler (osmsplit routes ways onto cells; this burns
+    them). Plan: bbox -> covering cells (bounded explode, loud
+    ``max_cells`` guard), cell centers decoded row-locally, the exact
+    ray-cast refine (same Arrow kernel as spatial_join) keeps
+    center-inside cells, then ONE partial-aggregating exchange keyed by
+    cell id. Polygon payloads never shuffle — the explode carries
+    (way_id, ring arrays) only as long as the refine needs them, and
+    the refine is a per-row predicate, not a join.
+    """
+    from geoutils_spark.operators import spatial_join as SJ
+
+    p = SJ.with_covering_cells(polygons, level, max_cells=max_cells)
+    p = p.select(
+        "way_id",
+        F.col("ring.lon").alias("__rx"), F.col("ring.lat").alias("__ry"),
+        F.explode("cells").alias("cell_id"))
+    clon, clat = C.cell_center_col(F.col("cell_id"), level)
+    p = p.withColumn("__clon", clon).withColumn("__clat", clat)
+    p = p.filter(SJ.point_in_polygon_udf(
+        F.col("__clon"), F.col("__clat"), F.col("__rx"), F.col("__ry")))
+    return p.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_polys"),
+        F.min("way_id").alias("min_way_id"))

@@ -4471,3 +4471,50 @@ def web_link_hostgraph(spark, sf_dir):
         "src", LK.resolve_host_col(F.col("link"), F.col("src")).alias("dst"))
     return (resolved.filter(F.col("dst") != "")
             .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n")))
+
+
+_RZ_LEVEL = 18
+_RZ_N = 1 << _RZ_LEVEL
+
+
+@register("geo_rasterize", f"""
+    WITH grid AS ({_grid_sql()}),
+    tiles AS (
+      SELECT way_id, minx, maxx, miny, maxy, tx.x AS tx, ty.y AS ty
+      FROM grid,
+           UNNEST(range({C.tile_x_sql('minx', _RZ_LEVEL)},
+                        {C.tile_x_sql('maxx', _RZ_LEVEL)} + 1)) AS tx(x),
+           UNNEST(range({C.tile_y_sql('maxy', _RZ_LEVEL)},
+                        {C.tile_y_sql('miny', _RZ_LEVEL)} + 1)) AS ty(y)
+    ),
+    centered AS (
+      SELECT way_id, tx, ty,
+             (CAST(tx AS DOUBLE) + CAST(0.5 AS DOUBLE)) / {_RZ_N}.0
+               * CAST(360.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS clon,
+             DEGREES(CAST(2.0 AS DOUBLE) * ATAN(EXP(PI() *
+               (CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE)
+                * (CAST(ty AS DOUBLE) + CAST(0.5 AS DOUBLE)) / {_RZ_N}.0)))
+               - PI() / CAST(2.0 AS DOUBLE)) AS clat,
+             minx, maxx, miny, maxy
+      FROM tiles
+    )
+    SELECT {C.cell_from_tile_sql('tx', 'ty', _RZ_LEVEL)} AS cell_id,
+           COUNT(*) AS n_polys,
+           MIN(way_id) AS min_way_id
+    FROM centered
+    WHERE clon >= minx AND clon < maxx AND clat >= miny AND clat < maxy
+    GROUP BY 1
+    """)
+def geo_rasterize(spark, sf_dir):
+    """Vector -> raster burn (operators/raster.py rasterize_polygons):
+    fixture buildings onto the level-17 cell grid by center sampling —
+    the inverse of geo_raster_regions' polygonize. Engine path: bbox ->
+    bounded covering-cells explode -> row-local center decode -> exact
+    Arrow ray-cast keeps center-inside cells -> one partial-aggregating
+    exchange on cell id. For the axis-aligned fixtures the half-open
+    ray-cast equals the bbox predicate, so the tile-enumerating oracle
+    (integer tile ranges, bit-math cell encode) is hash-exact."""
+    polys = fixtures.polygons_df(spark).filter(F.col("kind") == "building")
+    from geoutils_spark.operators.raster import rasterize_polygons
+
+    return rasterize_polygons(polys, _RZ_LEVEL)

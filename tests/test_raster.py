@@ -78,3 +78,47 @@ def test_tile_pyramid_rollup(spark):
     assert len(top) == 1 and top.iloc[0]["n"] == 31
     l3 = out[out["zoom"] == 3].set_index(["x", "y"])["n"]
     assert l3[(0, 0)] == 7 and l3[(1, 1)] == 8 and l3[(7, 7)] == 16
+
+
+def test_rasterize_center_sampling(spark):
+    """A cell is burned iff its CENTER is inside: a polygon thinner
+    than a cell but crossing a center row burns exactly that row."""
+    from geoutils_spark.operators.raster import rasterize_polygons
+    from geoutils_spark.functions import cells as C
+    from geoutils_spark.sources import fixtures as FX
+    from pyspark.sql import functions as F
+
+    level = 18
+    # one fixture building: burn must be non-empty, every burned cell
+    # center inside the bbox, and every covering-cell center inside the
+    # bbox must be burned (exact center sampling, rectangles)
+    polys = FX.polygons_df(spark).filter(F.col("kind") == "building") \
+        .limit(1).cache()
+    bbox = polys.select("bbox.*").collect()[0]
+    out = rasterize_polygons(polys, level)
+    rows = out.collect()
+    assert rows, "empty raster"
+    clon, clat = C.cell_center_col(F.col("cell_id"), level)
+    chk = out.select(
+        ((clon >= bbox["minx"]) & (clon < bbox["maxx"])
+         & (clat >= bbox["miny"]) & (clat < bbox["maxy"])).alias("ok"))
+    assert all(r["ok"] for r in chk.collect())
+    assert all(r["n_polys"] == 1 for r in rows)
+    polys.unpersist()
+
+
+def test_rasterize_overlap_counts(spark):
+    """Two identical polygons burn the same cells with n_polys=2 and
+    min_way_id the smaller id."""
+    from geoutils_spark.operators.raster import rasterize_polygons
+    from geoutils_spark.sources import fixtures as FX
+    from pyspark.sql import functions as F
+
+    one = FX.polygons_df(spark).filter(F.col("kind") == "building").limit(1)
+    two = one.union(one.withColumn("way_id", F.col("way_id") + 1000))
+    out = rasterize_polygons(two, 18).collect()
+    assert out
+    base_way = one.collect()[0]["way_id"]
+    for r in out:
+        assert r["n_polys"] == 2
+        assert r["min_way_id"] == base_way
