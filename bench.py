@@ -93,6 +93,17 @@ EXTRA = [
     "rel_pivot",
     "rel_unpivot",
     "dedup_jaccard_exact",
+    # r5 additions
+    "geo_hex_assign",
+    "geo_hex_histogram",
+    "geo_rasterize",
+    "web_host_cap",
+    "text_ccnet_buckets",
+    "web_link_hostgraph",
+    "web_blocklist_filter",
+    "text_exactsubstr_cut",
+    "text_importance_sample",
+    "emb_semdedup",
 ]
 
 
