@@ -68,12 +68,25 @@ def assign_clusters(vectors: DataFrame,
 def semdedup_drops(vectors: DataFrame,
                    centroids: list[tuple[int, list[float]]],
                    threshold: float, dim: int = SIM.EMB_DIM,
-                   id_col: str = "vec_id", vec: str = "e") -> DataFrame:
+                   id_col: str = "vec_id", vec: str = "e",
+                   checkpoint: bool = True) -> DataFrame:
     """(drop_id, bucket, witness_id, cosine) — every vector with a
     lower-id same-cluster neighbor at cosine >= threshold; the witness is
     the LOWEST such id (min-struct aggregation — partial-combines, so a
-    10^6-member duplicate ball still reduces map-side)."""
+    10^6-member duplicate ball still reduces map-side).
+
+    The assignment is MATERIALIZED (localCheckpoint) before the self-join:
+    without it, AQE's broadcast conversion strips the exchange and
+    re-inlines the K x dim argmax + upstream array builders into BOTH join
+    sides and the pushed-down cosine condition — every candidate pair then
+    re-evaluates the whole assignment subtree (measured ~1 ms/pair,
+    306 s -> 2.9 s at sf0.1; the CLAUDE.md giant-expression invariant).
+    At scale the materialized (id, vec, norm, bucket) table IS the IVF
+    storage layout — written once, read by both pair-join sides; swap
+    localCheckpoint for a persisted table write on a real cluster run."""
     asg = assign_clusters(vectors, centroids, dim, id_col, vec)
+    if checkpoint:
+        asg = asg.localCheckpoint()
     a = asg.select(F.col(id_col).alias("id_a"), F.col(vec).alias("ea"),
                    F.col("n").alias("na"), "bucket")
     b = asg.select(F.col(id_col).alias("id_b"), F.col(vec).alias("eb"),

@@ -4227,7 +4227,7 @@ from geoutils_spark.operators import semdedup as SD  # noqa: E402
 
 @register("emb_semdedup", f"""
     WITH corpus AS ({_VECS_MUTANTS_SQL}),
-    out AS ({SD.semdedup_sql('corpus', 'vec_id % 25 = 7', threshold=0.95)})
+    out AS ({SD.semdedup_sql('corpus', 'vec_id % 25 = 7 AND vec_id < 500', threshold=0.95)})
     SELECT drop_id, bucket, witness_id, ROUND(cosine, 9) AS cosine_r
     FROM out
     """)
@@ -4238,10 +4238,15 @@ def emb_semdedup(spark, sf_dir):
     data-derived centroids broadcast for row-local assignment; the pair
     join is keyed by cluster id only; keep-lowest-id drop rule with a
     partial-combining min-struct witness. Exact chain-sum cosine both
-    dialects, so the 0.95 threshold comparison cannot drift."""
+    dialects, so the 0.95 threshold comparison cannot drift. The
+    centroid predicate is bounded (vec_id < 500) so the broadcast
+    argmax expression stays 20 centroids at EVERY scale factor — the
+    k-vs-corpus-size separation that makes the assignment row-local
+    cost constant."""
     corpus = _vectors_with_mutants(spark, sf_dir)
     cents = [(int(r["vec_id"]), [float(x) for x in r["e"]])
-             for r in corpus.filter(F.col("vec_id") % 25 == 7).collect()]
+             for r in corpus.filter((F.col("vec_id") % 25 == 7)
+                           & (F.col("vec_id") < 500)).collect()]
     out = SD.semdedup_drops(corpus, cents, threshold=0.95)
     return out.select("drop_id", "bucket", "witness_id",
                       F.round("cosine", 9).alias("cosine_r"))
