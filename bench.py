@@ -104,6 +104,7 @@ EXTRA = [
     "text_exactsubstr_cut",
     "text_importance_sample",
     "emb_semdedup",
+    "warc_ingest_stats",
 ]
 
 

@@ -4523,3 +4523,64 @@ def geo_rasterize(spark, sf_dir):
     from geoutils_spark.operators.raster import rasterize_polygons
 
     return rasterize_polygons(polys, _RZ_LEVEL)
+
+
+# ---------------------------------------------------------------------------
+# WARC on-ramp (sources/warc.py) — the Common-Crawl wire-format roundtrip
+# ---------------------------------------------------------------------------
+
+_WARC_EPOCH = 1704067200
+
+
+@register("warc_ingest_stats", f"""
+    SELECT source || '.example' AS host,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT doc_id) AS n_urls,
+           SUM(octet_length(encode(text))) AS total_bytes,
+           SUM(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT)) AS body_hash_sum,
+           200 AS status_min,
+           200 AS status_max,
+           MAX({_WARC_EPOCH} + doc_id * 61 % 31536000) AS max_epoch
+    FROM documents
+    GROUP BY 1
+    """)
+def warc_ingest_stats(spark, sf_dir):
+    """Full WARC wire-format roundtrip under the driver gate: documents ->
+    pages shape -> byte-deterministic .warc.gz shards (write_warc_shards:
+    md5-bucket shards, url order, gzip member per record, mtime=0) ->
+    read_warc per-file parse (HTTP envelope split, WARC-Date parse) ->
+    per-host aggregate. The oracle computes the same stats straight off
+    the parquet table, so every mismatch in url/timestamp/body bytes or
+    HTTP status surfaces as a hash break — the webtext analogue of the
+    pbf XML-parity test (sources/osmpbf.py). Scale shape: the sink is one
+    task per shard; the reader is one task per file (member spans for the
+    single-huge-file case, test_warc.py); the aggregate ships (host,
+    count, sums) only."""
+    import os as _os
+    import tempfile
+
+    from geoutils_spark.sources import warc as W
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/doc"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.timestamp_seconds(
+            F.lit(_WARC_EPOCH)
+            + F.pmod(F.col("doc_id") * 61, F.lit(31536000))).alias("warc_ts"),
+        F.col("text").cast("binary").alias("html"))
+    out_dir = _os.path.join(
+        tempfile.gettempdir(),
+        f"geoutils_spark_warc_{_os.path.basename(sf_dir.rstrip('/'))}")
+    paths = W.write_warc_shards(pages, out_dir, n_shards=4)
+    back = W.read_warc(spark, paths)
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    return (back.groupBy(host.alias("host"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("url").alias("n_urls"),
+                 F.sum(F.length("html")).alias("total_bytes"),
+                 F.sum(F.conv(F.substring(F.md5("html"), 1, 12), 16, 10)
+                       .cast("long")).alias("body_hash_sum"),
+                 F.min("http_status").alias("status_min"),
+                 F.max("http_status").alias("status_max"),
+                 F.max(F.unix_timestamp("warc_ts")).alias("max_epoch")))
