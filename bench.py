@@ -105,6 +105,7 @@ EXTRA = [
     "text_importance_sample",
     "emb_semdedup",
     "warc_ingest_stats",
+    "web_anchor_text",
 ]
 
 

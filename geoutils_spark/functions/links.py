@@ -60,3 +60,29 @@ def resolve_host_sql(link: str, base_host: str) -> str:
         f"WHEN {host} <> '' THEN {host} "
         f"WHEN {proto_rel} <> '' THEN {proto_rel} "
         f"ELSE {base_host} END")
+
+
+# ---------------------------------------------------------------------------
+# anchor text — (link, anchor) pairs for anchor-text corpus construction
+# ---------------------------------------------------------------------------
+
+ANCHOR_RE = r'<a\s[^>]*href="[^"]*"[^>]*>[^<]*</a>'
+
+
+def extract_anchor_pairs_col(html: Column) -> Column:
+    """array<struct<link, anchor>> — every simple anchor tag, document
+    order. Two-stage extraction because both engines' regexp_extract_all
+    return ONE group: group-0 matches of the full-tag pattern, then
+    row-local href/text re-extraction inside a higher-order transform
+    (still zero Python, still one codegen stage)."""
+    tags = F.regexp_extract_all(html, F.lit(ANCHOR_RE), F.lit(0))
+    return F.transform(tags, lambda t: F.struct(
+        F.regexp_extract(t, HREF_RE, 1).alias("link"),
+        F.regexp_extract(t, r">([^<]*)</a>", 1).alias("anchor")))
+
+
+def extract_anchor_pairs_sql(html: str) -> str:
+    return (
+        f"list_transform(regexp_extract_all({html}, '{ANCHOR_RE}', 0), "
+        f"t -> struct_pack(link := regexp_extract(t, '{HREF_RE}', 1), "
+        f"anchor := regexp_extract(t, '>([^<]*)</a>', 1)))")

@@ -4584,3 +4584,93 @@ def warc_ingest_stats(spark, sf_dir):
                  F.min("http_status").alias("status_min"),
                  F.max("http_status").alias("status_max"),
                  F.max(F.unix_timestamp("warc_ts")).alias("max_epoch")))
+
+
+# deterministic anchor-bearing html synth (shared spark/oracle): one
+# absolute link with a varying word anchor, one relative link with a
+# two-word anchor, and 1/5 an empty-anchor image link (must drop)
+_ANCHOR_WORDS = ["market", "river", "bridge", "castle", "garden", "station",
+                 "museum", "harbour", "tower", "abbey", "square", "lane"]
+
+_ANCHOR_SYNTH_SQL = f"""
+      SELECT doc_id,
+             'site' || CAST(doc_id % 23 AS VARCHAR) || '.example' AS host,
+             '<html><body>'
+             || '<a href="https://site' || CAST((doc_id * 3 + 1) % 23 AS VARCHAR)
+             || '.example/a">'
+             || (['{"','".join(_ANCHOR_WORDS)}'])[CAST(doc_id * 7 % 12 AS INT) + 1]
+             || ' ' || (['{"','".join(_ANCHOR_WORDS)}'])[CAST(doc_id * 5 % 12 AS INT) + 1]
+             || '</a>'
+             || '<a href="/local/page' || CAST(doc_id AS VARCHAR) || '">home page</a>'
+             || CASE WHEN doc_id % 5 = 0
+                     THEN '<a href="https://site' || CAST(doc_id % 23 AS VARCHAR)
+                          || '.example/img"><img src="i.png"/></a>' ELSE '' END
+             || '</body></html>' AS html
+      FROM documents
+"""
+
+
+def _docs_with_anchor_html(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    words = F.array(*[F.lit(w) for w in _ANCHOR_WORDS])
+
+    def s(c):
+        return c.cast("string")
+
+    host = F.concat(F.lit("site"), s(i % 23), F.lit(".example"))
+    html = F.concat(
+        F.lit('<html><body><a href="https://site'), s((i * 3 + 1) % 23),
+        F.lit('.example/a">'),
+        F.element_at(words, (F.pmod(i * 7, F.lit(12)) + 1).cast("int")),
+        F.lit(" "),
+        F.element_at(words, (F.pmod(i * 5, F.lit(12)) + 1).cast("int")),
+        F.lit('</a><a href="/local/page'), s(i), F.lit('">home page</a>'),
+        F.when(i % 5 == 0,
+               F.concat(F.lit('<a href="https://site'), s(i % 23),
+                        F.lit('.example/img"><img src="i.png"/></a>')))
+        .otherwise(F.lit("")),
+        F.lit("</body></html>"))
+    return d.select("doc_id", host.alias("host"), html.alias("html"))
+
+
+@register("web_anchor_text", f"""
+    WITH pages AS ({_ANCHOR_SYNTH_SQL}),
+    pairs AS (
+      SELECT host AS src, unnest({LK.extract_anchor_pairs_sql('html')},
+                                 recursive := true)
+      FROM pages
+    ),
+    tokens AS (
+      SELECT {LK.resolve_host_sql('link', 'src')} AS dst,
+             unnest(string_split(anchor, ' ')) AS token
+      FROM pairs
+      WHERE anchor <> ''
+    )
+    SELECT dst, token, COUNT(*) AS n_links
+    FROM tokens WHERE token <> '' AND dst <> ''
+    GROUP BY dst, token
+    """)
+def web_anchor_text(spark, sf_dir):
+    """Anchor-text corpus construction (functions/links.py anchor pairs):
+    what other pages' link text says about a target host — the classic
+    web-scale relevance/training signal (anchor-text pretraining, query
+    expansion). One codegen regexp pulls full anchor tags, a higher-order
+    transform splits each into (href, anchor) row-locally, resolution
+    maps the href to its target host, anchor words explode to tokens.
+    Empty anchors (image links) drop. The only exchange is the
+    (dst_host, token) count — key space bounded by hosts x vocabulary,
+    combining map-side; html never shuffles."""
+    p = _docs_with_anchor_html(spark, sf_dir)
+    pairs = p.select(
+        F.col("host").alias("src"),
+        F.explode(LK.extract_anchor_pairs_col(F.col("html"))).alias("pr"))
+    tokens = (pairs
+              .filter(F.col("pr.anchor") != "")
+              .select(LK.resolve_host_col(F.col("pr.link"), F.col("src"))
+                      .alias("dst"),
+                      F.explode(F.split(F.col("pr.anchor"), " "))
+                      .alias("token")))
+    return (tokens.filter((F.col("token") != "") & (F.col("dst") != ""))
+            .groupBy("dst", "token")
+            .agg(F.count(F.lit(1)).alias("n_links")))

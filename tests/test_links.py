@@ -59,3 +59,35 @@ def test_no_links_empty_array(spark):
     n = df.select(F.size(LK.extract_hrefs_col(F.col("html"))).alias("n")) \
         .collect()[0]["n"]
     assert n == 0
+
+
+def _pairs(spark, html):
+    df = spark.createDataFrame([(html,)], "html string")
+    row = df.select(
+        LK.extract_anchor_pairs_col(F.col("html")).alias("p")).first()
+    return [(p["link"], p["anchor"]) for p in row["p"]]
+
+
+def test_anchor_pairs_basic(spark):
+    html = ('<a href="https://a.example/x" class="nav">Go Here</a>'
+            '<a href="/rel">home</a>')
+    assert _pairs(spark, html) == [("https://a.example/x", "Go Here"),
+                                   ("/rel", "home")]
+
+
+def test_anchor_pairs_image_anchor_empty(spark):
+    # child-element anchors (<img>) don't match the [^<]* text pattern:
+    # they surface as no pair at all, matching the oracle twin exactly
+    html = '<a href="https://a.example/i"><img src="p.png"/></a>'
+    assert _pairs(spark, html) == []
+
+
+def test_anchor_pairs_attribute_order(spark):
+    # href not first attribute still extracts
+    html = '<a class="x" href="https://b.example/y">label</a>'
+    assert _pairs(spark, html) == [("https://b.example/y", "label")]
+
+
+def test_anchor_pairs_no_space_no_match(spark):
+    # malformed '<ahref=' never matches
+    assert _pairs(spark, '<ahref="https://a.example">z</a>') == []
