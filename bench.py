@@ -106,6 +106,7 @@ EXTRA = [
     "emb_semdedup",
     "warc_ingest_stats",
     "web_anchor_text",
+    "text_bpe_merges",
 ]
 
 

@@ -4674,3 +4674,30 @@ def web_anchor_text(spark, sf_dir):
     return (tokens.filter((F.col("token") != "") & (F.col("dst") != ""))
             .groupBy("dst", "token")
             .agg(F.count(F.lit(1)).alias("n_links")))
+
+
+from geoutils_spark.operators import bpe as BP  # noqa: E402
+
+_BPE_MERGES = 8
+_BPE_TOPW = 150
+
+
+@register("text_bpe_merges",
+          BP.merges_sql("(SELECT text FROM documents)", _BPE_MERGES,
+                        top_words=_BPE_TOPW))
+def text_bpe_merges(spark, sf_dir):
+    """Distributed BPE merge training (operators/bpe.py, Sennrich et al.
+    2016) — the iterative tier's tokenizer-training member. The corpus is
+    reduced ONCE to a capped (word, n) vocabulary (map-side-combining
+    hash agg); each of the 8 merge rounds then runs entirely on the
+    vocabulary table: row-local pair explode, one vocab-bounded count
+    exchange, a 1-row argmax driver action (n desc, pair asc tie), and a
+    row-local greedy merge rewrite. The oracle unrolls the identical 8
+    rounds as chained CTEs, so merge CHOICES and counts — the full
+    training trajectory, not just the final state — are hash-checked."""
+    docs = _t(spark, sf_dir, "documents").select("text")
+    vocab = BP.word_counts(docs, top_words=_BPE_TOPW)
+    merges = BP.train_merges(vocab, _BPE_MERGES)
+    return spark.createDataFrame(
+        [(int(s), p, int(n)) for s, p, n in merges],
+        "step long, pair string, n long")
