@@ -107,6 +107,7 @@ EXTRA = [
     "warc_ingest_stats",
     "web_anchor_text",
     "text_bpe_merges",
+    "web_robots_filter",
 ]
 
 

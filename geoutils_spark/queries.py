@@ -4701,3 +4701,82 @@ def text_bpe_merges(spark, sf_dir):
     return spark.createDataFrame(
         [(int(s), p, int(n)) for s, p, n in merges],
         "step long, pair string, n long")
+
+
+from geoutils_spark.functions import robots as RB  # noqa: E402
+
+_ROBOTS_TEMPLATES = [
+    ("User-agent: a\nUser-agent: *\nAllow: /private/ok\n"
+     "Disallow: /private\nDisallow:\n\nUser-agent: z\nDisallow: /"),
+    "# bots only\nUser-agent: specialbot\nDisallow: /",
+    "User-agent: *\nDisallow: /\nAllow: /pub",
+    "",
+]
+
+
+def _robots_tpl_sql() -> str:
+    items = ", ".join(
+        "'" + t.replace("\n", "' || chr(10) || '") + "'"
+        for t in _ROBOTS_TEMPLATES)
+    return f"[{items}]"
+
+
+@register("web_robots_filter", f"""
+    WITH hosts AS (
+      SELECT h, 'site' || CAST(h AS VARCHAR) || '.example' AS host,
+             ({_robots_tpl_sql()})[CAST(h % 4 AS INT) + 1] AS robots
+      FROM range(23) t(h)
+    ),
+    parsed AS (SELECT host, {{L}} AS l FROM hosts),
+    ruled AS (SELECT host, {{R}} AS rules FROM parsed),
+    pages AS (
+      SELECT doc_id,
+             'site' || CAST(doc_id % 23 AS VARCHAR) || '.example' AS host,
+             'https://site' || CAST(doc_id % 23 AS VARCHAR) || '.example'
+             || (CASE CAST(doc_id % 5 AS INT)
+                 WHEN 0 THEN '/private/ok/p' || CAST(doc_id AS VARCHAR)
+                 WHEN 1 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+                 WHEN 2 THEN '/pub/y' || CAST(doc_id AS VARCHAR)
+                 WHEN 3 THEN ''
+                 ELSE '/misc/z' || CAST(doc_id AS VARCHAR) END) AS url
+      FROM documents
+    )
+    SELECT p.doc_id, p.host, p.url, {{OK}} AS allowed
+    FROM pages p JOIN ruled r ON p.host = r.host
+    """.replace("{L}", RB.sig_lines_sql("robots"))
+       .replace("{R}", RB.rules_for_agent_sql("l", "*"))
+       .replace("{OK}", RB.is_allowed_sql("r.rules", RB.url_path_sql("p.url"))))
+def web_robots_filter(spark, sf_dir):
+    """robots.txt gate (functions/robots.py, RFC 9309 subset): parse +
+    group resolution run ONCE PER HOST on the tiny robots dim (the
+    quadratic group scan is dim-side; the broadcast join boundary
+    materializes the resolved rules array), then per-page matching is a
+    row-local longest-prefix array fold. Corpus never shuffles: pages ⋈
+    broadcast(rules-by-host). Hosts cycle 4 robots shapes: a grouped
+    User-agent block with Allow-over-Disallow + empty Disallow, a
+    bot-specific-only file (no '*' group — everything allowed), a
+    Disallow-/ with an Allow carve-out, and an empty file."""
+    tpl = F.array(*[F.lit(t) for t in _ROBOTS_TEMPLATES])
+    hosts = spark.range(23).select(
+        F.concat(F.lit("site"), F.col("id").cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.element_at(tpl, (F.col("id") % 4 + 1).cast("int")).alias("robots"))
+    ruled = hosts.select(
+        "host", RB.rules_for_agent_col(F.col("robots"), "*").alias("rules"))
+    i = F.col("doc_id")
+    path = (F.when(i % 5 == 0, F.concat(F.lit("/private/ok/p"), i.cast("string")))
+            .when(i % 5 == 1, F.concat(F.lit("/private/x"), i.cast("string")))
+            .when(i % 5 == 2, F.concat(F.lit("/pub/y"), i.cast("string")))
+            .when(i % 5 == 3, F.lit(""))
+            .otherwise(F.concat(F.lit("/misc/z"), i.cast("string"))))
+    pages = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("site"), (i % 23).cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.concat(F.lit("https://site"), (i % 23).cast("string"),
+                 F.lit(".example"), path).alias("url"))
+    joined = pages.join(F.broadcast(ruled), "host")
+    return joined.select(
+        "doc_id", "host", "url",
+        RB.is_allowed_col(F.col("rules"),
+                          RB.url_path_col(F.col("url"))).alias("allowed"))
