@@ -108,6 +108,8 @@ EXTRA = [
     "web_anchor_text",
     "text_bpe_merges",
     "web_robots_filter",
+    "text_chunk_windows",
+    "web_host_quality_ci",
 ]
 
 

@@ -4780,3 +4780,81 @@ def web_robots_filter(spark, sf_dir):
         "doc_id", "host", "url",
         RB.is_allowed_col(F.col("rules"),
                           RB.url_path_col(F.col("url"))).alias("allowed"))
+
+
+from geoutils_spark.operators import chunk as CH  # noqa: E402
+
+
+@register("text_chunk_windows",
+          CH.chunk_documents_sql("documents", size=32, stride=24))
+def text_chunk_windows(spark, sf_dir):
+    """RAG-style fixed-window chunking (operators/chunk.py): 32-token
+    windows advancing by 24 (8-token overlap), trailing partials kept —
+    ZERO exchanges, pure row-local array codegen; (doc_id, chunk_id) is
+    a pure function of the row so downstream embedding/indexing keys are
+    partitioning-invariant."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return CH.chunk_documents(docs, size=32, stride=24)
+
+
+@register("web_host_quality_ci", f"""
+    WITH q AS (
+      SELECT source,
+             {TA.quality_sqls('text')['n_tokens']} AS n_tokens,
+             {TA.quality_sqls('text')['stopword_ratio']} AS stop_ratio,
+             {TA.quality_sqls('text')['mark_ratio']} AS mark_ratio
+      FROM documents
+    ),
+    agg AS (
+      SELECT source || '.example' AS host,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN n_tokens >= 20 AND stop_ratio >= 0.01
+                            AND mark_ratio <= 0.2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_keep
+      FROM q GROUP BY 1
+    ),
+    wil AS (
+      SELECT host, n_docs, n_keep,
+             CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE) AS p,
+             CAST(n_docs AS DOUBLE) AS nd
+      FROM agg
+    )
+    SELECT host, n_docs, n_keep,
+           ROUND((p + {_dbl(3.8416)} / ({_dbl(2.0)} * nd)
+                  - {_dbl(1.96)} * SQRT((p * ({_dbl(1.0)} - p)
+                                         + {_dbl(3.8416)} / ({_dbl(4.0)} * nd))
+                                        / nd))
+                 / ({_dbl(1.0)} + {_dbl(3.8416)} / nd), 9) AS wilson_lb,
+           CASE WHEN (p + {_dbl(3.8416)} / ({_dbl(2.0)} * nd)
+                  - {_dbl(1.96)} * SQRT((p * ({_dbl(1.0)} - p)
+                                         + {_dbl(3.8416)} / ({_dbl(4.0)} * nd))
+                                        / nd))
+                 / ({_dbl(1.0)} + {_dbl(3.8416)} / nd) >= {_dbl(0.5)}
+                THEN TRUE ELSE FALSE END AS keep_host
+    FROM wil
+    """)
+def web_host_quality_ci(spark, sf_dir):
+    """FineWeb-style HOST-level quality decision: per-host keep-rate from
+    the Gopher gate, scored by the WILSON LOWER BOUND (z=1.96) so small
+    hosts aren't trusted on a lucky sample — the standard fix for
+    filtering domains by rate when host sizes span 1..10^7 docs. One
+    partial-agg exchange on host (two BIGINT sums); the Wilson formula is
+    post-agg row-local double math with identical literal structure in
+    both dialects (chain-order discipline), rounded to 9 for hash
+    stability. ``keep_host`` gates at lower-bound >= 0.5."""
+    d = _t(spark, sf_dir, "documents")
+    keep = TA.quality_keep_col(F.col("text"))
+    agg = (d.groupBy(F.concat(F.col("source"), F.lit(".example"))
+                     .alias("host"))
+           .agg(F.count("*").cast("long").alias("n_docs"),
+                F.sum(F.when(keep, 1).otherwise(0)).cast("long")
+                .alias("n_keep")))
+    p = F.col("n_keep").cast("double") / F.col("n_docs").cast("double")
+    nd = F.col("n_docs").cast("double")
+    z2, z, one = F.lit(3.8416), F.lit(1.96), F.lit(1.0)
+    w = ((p + z2 / (F.lit(2.0) * nd)
+          - z * F.sqrt((p * (one - p) + z2 / (F.lit(4.0) * nd)) / nd))
+         / (one + z2 / nd))
+    return agg.select("host", "n_docs", "n_keep",
+                      F.round(w, 9).alias("wilson_lb"),
+                      (w >= F.lit(0.5)).alias("keep_host"))
