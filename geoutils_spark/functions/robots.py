@@ -168,3 +168,34 @@ def url_path_col(url: Column) -> Column:
 def url_path_sql(url: str) -> str:
     p = f"regexp_extract({url}, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
     return f"(CASE WHEN {p} = '' THEN '/' ELSE {p} END)"
+
+
+# ---------------------------------------------------------------------------
+# corpus gate
+# ---------------------------------------------------------------------------
+
+def robots_filter(docs, robots, url_col: str = "url", agent: str = "*",
+                  host_col: str = "host", robots_col: str = "robots_txt",
+                  invert: bool = False):
+    """Keep docs whose ``url_col`` the host's robots.txt allows for
+    ``agent``; hosts absent from the robots table allow everything (no
+    robots = no restrictions, the crawler convention). The robots table
+    is a dim (one row per host): rules resolve once per HOST, the
+    resolved arrays broadcast, and each doc pays one hash probe + a
+    row-local match — the corpus payload never shuffles (the blocklist
+    gate's shape). Host equality is exact on ``urls.url_host_col``
+    output (lowercased registered host), so build the robots table with
+    the same key. ``invert=True`` returns the blocked docs (audit)."""
+    from geoutils_spark.functions import urls as U
+
+    ruled = robots.select(
+        F.col(host_col).alias("__rb_host"),
+        rules_for_agent_col(F.col(robots_col), agent).alias("__rb_rules"))
+    j = (docs.withColumn("__rb_h", U.url_host_col(F.col(url_col)))
+         .join(F.broadcast(ruled),
+               F.col("__rb_h") == F.col("__rb_host"), "left"))
+    ok = (F.col("__rb_rules").isNull()
+          | is_allowed_col(F.col("__rb_rules"),
+                           url_path_col(F.col(url_col))))
+    return (j.filter(~ok if invert else ok)
+            .drop("__rb_h", "__rb_host", "__rb_rules"))

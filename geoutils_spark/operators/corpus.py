@@ -291,6 +291,8 @@ def prepare_corpus(docs: DataFrame, benchmarks: DataFrame,
                    classifier_threshold: int = 0,
                    classifier_n_buckets: int | None = None,
                    blocklist: "DataFrame | None" = None,
+                   robots: "DataFrame | None" = None,
+                   robots_agent: str = "*",
                    url_col: str = "url",
                    exactsubstr_k: int | None = None,
                    importance_target: "DataFrame | None" = None,
@@ -316,10 +318,14 @@ def prepare_corpus(docs: DataFrame, benchmarks: DataFrame,
     corpus-duplicated >=k-token span before exact dedup (Lee et al.,
     docs cut to nothing vanish, ``n_cut_tokens`` kept);
     ``importance_target``+``importance_k`` keep only the k most
-    target-like docs (DSIR) as the LAST gate. The full ordering is:
-    blocklist -> normalize -> rules gate -> redact -> classifier gate ->
-    line dedup -> exactsubstr cut -> exact dedup -> near dedup ->
-    decontaminate -> importance top-k -> split.
+    target-like docs (DSIR) as the LAST gate; ``robots`` (a (host,
+    robots_txt) dim) drops docs their host's robots.txt disallows for
+    ``robots_agent`` (retroactive opt-out sweeps; rules resolve once per
+    host and broadcast — functions/robots.py), fused into stage 1 next
+    to the blocklist. The full ordering is:
+    blocklist -> robots -> normalize -> rules gate -> redact ->
+    classifier gate -> line dedup -> exactsubstr cut -> exact dedup ->
+    near dedup -> decontaminate -> importance top-k -> split.
 
     Single-pass execution (r3 VERDICT/ADVICE item): every stage boundary
     is ``persist()``-ed (default ``DISK_ONLY`` — the 100 TB choice: one
@@ -393,6 +399,19 @@ def prepare_corpus(docs: DataFrame, benchmarks: DataFrame,
                 f"blocklist filtering needs a {url_col!r} column; "
                 f"docs has {docs.columns}")
         docs = _U.blocklist_filter(docs, blocklist, url_col=url_col)
+
+    # optional r5 stage: robots.txt gate (same URL-tier slot and the same
+    # zero-corpus-shuffle shape: per-host rules resolve on the dim side,
+    # broadcast, row-local match; fused into the stage-1 boundary).
+    if robots is not None:
+        from geoutils_spark.functions import robots as _RB
+
+        if url_col not in docs.columns:
+            raise ValueError(
+                f"robots filtering needs a {url_col!r} column; "
+                f"docs has {docs.columns}")
+        docs = _RB.robots_filter(docs, robots, url_col=url_col,
+                                 agent=robots_agent)
 
     # stage 1+2 share a boundary: both row-local, nothing between them
     # branches, and redact is 1:1 so this count IS the after-quality count.

@@ -72,6 +72,11 @@ def main() -> None:
     ap.add_argument("--blocklist-domains", default=None,
                     help="comma-separated literal blocklist (alternative "
                     "to --blocklist for small curated lists)")
+    ap.add_argument("--robots", default=None,
+                    help="parquet of (host, robots_txt); drops docs their "
+                    "host's robots.txt disallows for --robots-agent "
+                    "(input must carry a url column)")
+    ap.add_argument("--robots-agent", default="*")
     ap.add_argument("--exactsubstr-k", type=int, default=0,
                     help="cut every corpus-duplicated span of >= K tokens "
                     "before exact dedup (Lee et al. ExactSubstr)")
@@ -137,6 +142,10 @@ def main() -> None:
             [(d.strip(),) for d in args.blocklist_domains.split(",")
              if d.strip()], "domain string")
 
+    robots = None
+    if args.robots:
+        robots = spark.read.parquet(args.robots).select("host", "robots_txt")
+
     importance_target = None
     if args.importance_k:
         importance_target = (
@@ -154,6 +163,8 @@ def main() -> None:
         classifier_threshold=args.classifier_threshold,
         classifier_n_buckets=args.classifier_buckets or None,
         blocklist=blocklist,
+        robots=robots,
+        robots_agent=args.robots_agent,
         exactsubstr_k=args.exactsubstr_k or None,
         importance_target=importance_target,
         importance_k=args.importance_k or None)

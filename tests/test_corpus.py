@@ -369,3 +369,45 @@ def test_prepare_corpus_blocklist_requires_url(spark):
     with _pytest.raises(ValueError, match="url"):
         CP.prepare_corpus(docs, benchmarks, blocklist=blocklist,
                           collect_counts=False)
+
+
+def test_prepare_corpus_robots_stage(spark):
+    """The robots gate (functions/robots.py) slots into the URL tier:
+    disallowed paths on governed hosts vanish, hosts without a robots
+    row pass untouched, and the funnel still runs end to end."""
+    from pyspark.sql import functions as F
+
+    docs = fixtures.corpus_smoke_df(spark, 600).withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("ruled.example"))
+            .otherwise(F.lit("free.example")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/private/p"))
+            .otherwise(F.lit("/pub/p")),
+            F.col("doc_id").cast("string")))
+    benchmarks = fixtures.benchmark_docs_df(spark)
+    robots = spark.createDataFrame(
+        [("ruled.example", "User-agent: *\nDisallow: /private")],
+        "host string, robots_txt string")
+    kept, counts = CP.prepare_corpus(docs, benchmarks, robots=robots)
+    rows = kept.select("doc_id").collect()
+    assert rows
+    # governed host + /private path -> gone; everything else decided by
+    # the regular funnel only
+    assert all(not (r["doc_id"] % 2 == 0 and r["doc_id"] % 3 == 0)
+               for r in rows)
+    spark.catalog.clearCache()
+
+
+def test_prepare_corpus_robots_requires_url(spark):
+    import pytest as _pytest
+
+    docs = fixtures.corpus_smoke_df(spark, 50)
+    benchmarks = fixtures.benchmark_docs_df(spark)
+    robots = spark.createDataFrame(
+        [("h.example", "User-agent: *\nDisallow: /")],
+        "host string, robots_txt string")
+    with _pytest.raises(ValueError, match="url"):
+        CP.prepare_corpus(docs, benchmarks, robots=robots,
+                          collect_counts=False)

@@ -81,3 +81,22 @@ def test_url_path_extraction(spark):
     got = [r["p"] for r in
            df.select(R.url_path_col(F.col("url")).alias("p")).collect()]
     assert got == ["/", "/a/b", "/"]
+
+
+def test_robots_filter_missing_host_and_invert(spark):
+    docs = spark.createDataFrame(
+        [(1, "https://ruled.example/private/x"),
+         (2, "https://ruled.example/pub/y"),
+         (3, "https://unruled.example/private/z")],
+        "doc_id long, url string")
+    robots = spark.createDataFrame(
+        [("ruled.example", "User-agent: *\nDisallow: /private")],
+        "host string, robots_txt string")
+    kept = sorted(r["doc_id"]
+                  for r in R.robots_filter(docs, robots).collect())
+    assert kept == [2, 3]  # no robots row => allowed
+    blocked = sorted(r["doc_id"] for r in
+                     R.robots_filter(docs, robots, invert=True).collect())
+    assert blocked == [1]
+    # helper columns must not leak into the output schema
+    assert R.robots_filter(docs, robots).columns == ["doc_id", "url"]
