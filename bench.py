@@ -110,6 +110,7 @@ EXTRA = [
     "web_robots_filter",
     "text_chunk_windows",
     "web_host_quality_ci",
+    "web_surt_keys",
 ]
 
 

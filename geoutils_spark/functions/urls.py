@@ -171,3 +171,42 @@ def blocklist_filter(docs: DataFrame, blocked: DataFrame,
         .select(id_col).distinct()
     how = "leftsemi" if invert else "leftanti"
     return docs.join(F.broadcast(bad_ids), id_col, how)
+
+
+# ---------------------------------------------------------------------------
+# SURT keys (Sort-friendly URI Reordering Transform — the ordering CDX
+# indexes and crawl stores sort by, so one registered domain's captures
+# are a contiguous range scan)
+# ---------------------------------------------------------------------------
+
+_QUERY_RE = r"\?([^#]*)"
+
+
+def surt_key_col(url: Column) -> Column:
+    """Canonical sort key: lowercased host labels REVERSED and
+    comma-joined, ')' separator, lowercased path ('' -> '/'), then the
+    query with '&'-params SORTED (order-insensitive dedup of
+    ?a=1&b=2 vs ?b=2&a=1). Subset of the archival SURT spec (no www/
+    port/session-id stripping — those are policy layers over this key;
+    the canonical dedup key in ``url_normalize_col`` handles the
+    scheme/slash/fragment policy)."""
+    host = F.lower(url_host_col(url))
+    rev = F.concat_ws(",", F.reverse(F.split(host, r"\.")))
+    p = F.lower(url_path_col(url))
+    p = F.when(p == "", F.lit("/")).otherwise(p)
+    q = F.regexp_extract(url, _QUERY_RE, 1)
+    qs = F.array_join(F.array_sort(F.split(q, "&")), "&")
+    return F.concat(rev, F.lit(")"), p,
+                    F.when(q == "", F.lit(""))
+                    .otherwise(F.concat(F.lit("?"), qs)))
+
+
+def surt_key_sql(url: str) -> str:
+    host = f"lower({url_host_sql(url)})"
+    rev = f"array_to_string(list_reverse(string_split({host}, '.')), ',')"
+    p0 = f"lower({url_path_sql(url)})"
+    p = f"(CASE WHEN {p0} = '' THEN '/' ELSE {p0} END)"
+    q = f"regexp_extract({url}, '{_QUERY_RE}', 1)"
+    qs = f"array_to_string(list_sort(string_split({q}, '&')), '&')"
+    return (f"({rev} || ')' || {p} || "
+            f"CASE WHEN {q} = '' THEN '' ELSE '?' || {qs} END)")

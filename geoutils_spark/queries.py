@@ -4858,3 +4858,45 @@ def web_host_quality_ci(spark, sf_dir):
     return agg.select("host", "n_docs", "n_keep",
                       F.round(w, 9).alias("wilson_lb"),
                       (w >= F.lit(0.5)).alias("keep_host"))
+
+
+_SURT_URL_SQL = """
+      SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN 'https://Sub.Site' || CAST(doc_id % 23 AS VARCHAR)
+                         || '.Example/A/B?b=2&a=1'
+             WHEN 1 THEN 'https://site' || CAST(doc_id % 23 AS VARCHAR)
+                         || '.example?x=1'
+             WHEN 2 THEN 'https://site' || CAST(doc_id % 23 AS VARCHAR)
+                         || '.example/a/b?a=1&b=2#frag'
+             ELSE 'http://site' || CAST(doc_id % 23 AS VARCHAR)
+                  || '.example/plain' END AS url
+      FROM documents
+"""
+
+
+@register("web_surt_keys", f"""
+    WITH u AS ({_SURT_URL_SQL})
+    SELECT doc_id, url, {U.surt_key_sql('url')} AS surt
+    FROM u
+    """)
+def web_surt_keys(spark, sf_dir):
+    """SURT sort keys (functions/urls.py surt_key_col) — the ordering CDX
+    indexes and crawl stores sort by, making one domain's captures a
+    contiguous range scan: host labels reversed and comma-joined, query
+    params sorted (?b&a == ?a&b), case folded, fragments dropped.
+    Row-local codegen; at scale this is the sort/partition column for
+    the capture index (range-partition by surt == partition by site)."""
+    i = F.col("doc_id")
+    h = (i % 23).cast("string")
+    url = (F.when(i % 4 == 0, F.concat(F.lit("https://Sub.Site"), h,
+                                       F.lit(".Example/A/B?b=2&a=1")))
+           .when(i % 4 == 1, F.concat(F.lit("https://site"), h,
+                                      F.lit(".example?x=1")))
+           .when(i % 4 == 2, F.concat(F.lit("https://site"), h,
+                                      F.lit(".example/a/b?a=1&b=2#frag")))
+           .otherwise(F.concat(F.lit("http://site"), h,
+                               F.lit(".example/plain"))))
+    d = _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    return d.select("doc_id", "url",
+                    U.surt_key_col(F.col("url")).alias("surt"))

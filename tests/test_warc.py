@@ -12,9 +12,9 @@ from pyspark.sql import functions as F
 from geoutils_spark.sources import warc as W
 
 
-def _pages(spark, n=120):
+def _pages(spark, n=120, start=0):
     """Small deterministic pages-shaped table."""
-    d = spark.range(n).select(
+    d = spark.range(start, start + n).select(
         F.concat(F.lit("https://host"), (F.col("id") % 7).cast("string"),
                  F.lit(".example/p"), F.col("id").cast("string")).alias("url"),
         F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 61).alias("warc_ts"),
@@ -134,3 +134,46 @@ def test_truncated_member_raises(tmp_path):
     p.write_bytes(blob[:-3])
     with pytest.raises(ValueError, match="truncated gzip member"):
         W.warc_member_spans(str(p))
+
+
+def test_read_warc_glob(spark, tmp_path):
+    src = _pages(spark, n=60)
+    W.write_warc_shards(src, str(tmp_path / "g"), n_shards=3)
+    back = W.read_warc_glob(spark, str(tmp_path / "g"))
+    pd.testing.assert_frame_equal(
+        _roundtrip_frame(src),
+        _roundtrip_frame(back.select("url", "warc_ts", "html")))
+
+
+def test_stream_warc_incremental(spark, tmp_path):
+    """binaryFile file-stream ingest: first availableNow pass parses the
+    landing files; a second pass after a new file lands processes ONLY
+    the new file (checkpointed file log = exactly-once per file)."""
+    landing = tmp_path / "landing"
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+    src1 = _pages(spark, n=40)
+    W.write_warc_shards(src1, str(landing), n_shards=2)
+
+    def drain():
+        q = (W.stream_warc(spark, str(landing))
+             .writeStream.format("parquet")
+             .option("path", str(out)).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    got1 = spark.read.parquet(str(out))
+    assert got1.count() == 40
+    # drop one NEW warc file with 10 more pages (disjoint urls)
+    extra = _pages(spark, n=10, start=40)
+    W.write_warc_shards(extra, str(landing / "more"), n_shards=1)
+    import shutil
+    shutil.move(str(landing / "more" / "shard-0000.warc.gz"),
+                str(landing / "late-0001.warc.gz"))
+    drain()
+    got2 = spark.read.parquet(str(out))
+    assert got2.count() == 50
+    # every url parsed exactly once across both passes (no reprocess of
+    # the first two shards, no missed late file)
+    assert got2.select("url").distinct().count() == 50

@@ -153,3 +153,21 @@ def test_blocklist_filter_plan_broadcast_only(spark):
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_surt_key_canonicalization(spark):
+    from geoutils_spark.functions import urls as U
+
+    df = spark.createDataFrame(
+        [("https://Sub.Site.Example/A/B?b=2&a=1",),
+         ("https://sub.site.example/a/b?a=1&b=2#frag",),
+         ("https://site.example",),
+         ("http://x.example/p?only=1",)], "url string")
+    got = [r["s"] for r in
+           df.select(U.surt_key_col(F.col("url")).alias("s")).collect()]
+    # param order + case + fragment collapse to ONE key
+    assert got[0] == got[1] == "example,site,sub)/a/b?a=1&b=2"
+    assert got[2] == "example,site)/"
+    assert got[3] == "example,x)/p?only=1"
+    # domain-contiguity: keys of one registered domain share a prefix
+    assert got[0].startswith("example,site") and got[2].startswith("example,site")
