@@ -111,6 +111,7 @@ EXTRA = [
     "text_chunk_windows",
     "web_host_quality_ci",
     "web_surt_keys",
+    "mm_cdc_chunks",
 ]
 
 

@@ -4900,3 +4900,51 @@ def web_surt_keys(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
     return d.select("doc_id", "url",
                     U.surt_key_col(F.col("url")).alias("surt"))
+
+
+from geoutils_spark.operators import cdc as CDC  # noqa: E402
+
+_CDC_BITS = 5
+
+
+@register("mm_cdc_chunks", f"""
+    WITH g AS (
+      SELECT doc_id, text, {CDC.gear_codes_sql('text')} AS gs
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, text, {CDC.rolling_hash_from_codes_sql('gs')} AS hs
+      FROM g
+    ),
+    cut AS (
+      SELECT doc_id, text,
+             list_sort(list_distinct(list_concat(
+               list_transform(
+                 list_filter(range(1, len(hs) + 1),
+                             i -> hs[i] % {1 << _CDC_BITS} = 0),
+                 i -> i + {CDC.WINDOW} - 1),
+               CASE WHEN len(text) = 0 THEN [] ELSE [len(text)] END))) AS ends
+      FROM h
+    )
+    SELECT doc_id,
+           CAST(e.i - 1 AS INT) AS chunk_idx,
+           CAST(CASE WHEN e.i = 1 THEN 0 ELSE ends[e.i - 1] END AS INT) AS off,
+           CAST(ends[e.i]
+                - (CASE WHEN e.i = 1 THEN 0 ELSE ends[e.i - 1] END)
+                AS INT) AS len,
+           md5(text[(CASE WHEN e.i = 1 THEN 0
+                     ELSE ends[e.i - 1] END) + 1 : ends[e.i]]) AS h
+    FROM cut, UNNEST(range(1, len(ends) + 1)) AS e(i)
+    """)
+def mm_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (operators/cdc.py, gear-hash/FastCDC
+    family) over the corpus blobs: boundaries where a 16-byte rolling
+    hash hits the 2^5 mask, so identical sub-streams chunk identically
+    wherever they sit — the byte-level dedup tier for the opaque binary
+    columns (multimodal payloads). Engine path: Arrow-batched numpy
+    sliding-window matmul per blob, zero exchanges; the oracle replays
+    the identical windowed dot product and boundary rule in SQL, so
+    offsets, lengths AND chunk md5s are hash-checked."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("blob"))
+    return CDC.chunk_blobs(docs, mask_bits=_CDC_BITS)
