@@ -112,6 +112,8 @@ EXTRA = [
     "web_host_quality_ci",
     "web_surt_keys",
     "mm_cdc_chunks",
+    "mm_cdc_dedup_ratio",
+    "web_fetch_schedule",
 ]
 
 

@@ -4948,3 +4948,105 @@ def mm_cdc_chunks(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("blob"))
     return CDC.chunk_blobs(docs, mask_bits=_CDC_BITS)
+
+
+@register("mm_cdc_dedup_ratio", f"""
+    WITH corpus AS ({_DOCS_MUTANTS_SQL}),
+    g AS (
+      SELECT doc_id, text, {CDC.gear_codes_sql('text')} AS gs
+      FROM corpus
+    ),
+    h AS (
+      SELECT doc_id, text, {CDC.rolling_hash_from_codes_sql('gs')} AS hs
+      FROM g
+    ),
+    cut AS (
+      SELECT doc_id, text,
+             list_sort(list_distinct(list_concat(
+               list_transform(
+                 list_filter(range(1, len(hs) + 1),
+                             i -> hs[i] % {1 << _CDC_BITS} = 0),
+                 i -> i + {CDC.WINDOW} - 1),
+               CASE WHEN len(text) = 0 THEN [] ELSE [len(text)] END))) AS ends
+      FROM h
+    ),
+    chunks AS (
+      SELECT md5(text[(CASE WHEN e.i = 1 THEN 0
+                       ELSE ends[e.i - 1] END) + 1 : ends[e.i]]) AS h,
+             CAST(ends[e.i]
+                  - (CASE WHEN e.i = 1 THEN 0 ELSE ends[e.i - 1] END)
+                  AS BIGINT) AS len
+      FROM cut, UNNEST(range(1, len(ends) + 1)) AS e(i)
+    ),
+    uniq AS (SELECT h, MAX(len) AS len FROM chunks GROUP BY h)
+    SELECT CAST((SELECT COUNT(*) FROM chunks) AS BIGINT) AS n_chunks,
+           CAST((SELECT COUNT(*) FROM uniq) AS BIGINT) AS n_unique,
+           CAST((SELECT SUM(len) FROM chunks) AS BIGINT) AS total_bytes,
+           CAST((SELECT SUM(len) FROM uniq) AS BIGINT) AS unique_bytes
+    """)
+def mm_cdc_dedup_ratio(spark, sf_dir):
+    """Dedup-storage estimate over CDC chunks (the composition the byte
+    tier exists for): chunk every blob, count bytes before/after chunk-
+    hash dedup. The mutant corpus plants truncated near-copies — CDC's
+    insertion-resilient boundaries make the shared prefixes produce
+    IDENTICAL chunk hashes, so unique_bytes << total_bytes while
+    whole-blob md5 would dedup nothing. One map-side-combining exchange
+    on chunk hash; chunk rows carry (h, len) only — never blob bytes."""
+    corpus = _docs_with_mutants(spark, sf_dir).select(
+        "doc_id", F.col("text").cast("binary").alias("blob"))
+    ch = CDC.chunk_blobs(corpus, mask_bits=_CDC_BITS)
+    uniq = ch.groupBy("h").agg(F.max("len").alias("len"))
+    a = ch.agg(F.count(F.lit(1)).alias("n_chunks"),
+               F.sum(F.col("len").cast("long")).alias("total_bytes"))
+    b = uniq.agg(F.count(F.lit(1)).alias("n_unique"),
+                 F.sum(F.col("len").cast("long")).alias("unique_bytes"))
+    return (a.crossJoin(b)   # two 1-row aggregates
+            .select("n_chunks", "n_unique", "total_bytes", "unique_bytes"))
+
+
+_FETCH_RATE = 4  # fetches per host per politeness bucket
+
+
+@register("web_fetch_schedule", f"""
+    WITH u AS (
+      SELECT doc_id, source || '.example' AS host,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                  AS BIGINT) AS pri
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, host, pri,
+             ROW_NUMBER() OVER (PARTITION BY host
+                                ORDER BY pri, doc_id) AS rank
+      FROM u
+    )
+    SELECT doc_id, host, CAST(rank AS BIGINT) AS rank,
+           CAST((rank - 1) // {_FETCH_RATE} AS BIGINT) AS bucket,
+           CAST((rank - 1) % {_FETCH_RATE} AS BIGINT) AS slot
+    FROM r
+    """)
+def web_fetch_schedule(spark, sf_dir):
+    """Politeness-aware crawl scheduling: every URL gets a (bucket, slot)
+    so each host serves at most {_FETCH_RATE} fetches per time bucket —
+    the frontier-scheduling shape every crawler needs. Rank within host
+    comes from the distributed exact-rank operator (operators/rank.py,
+    terasort decomposition), so a 10^9-url crawler-trap host ranks
+    across bounded tasks instead of sorting in one window task; priority
+    is the md5 of the url key (deterministic spread, re-run stable).
+    bucket/slot are then row-local integer math on the exact rank."""
+    from geoutils_spark.operators import rank as RK
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".example")).alias("host"))
+    pri = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")),
+                    1, 12), 16, 10).cast("long")
+    d = d.withColumn("pri", pri)
+    ranked = RK.group_rank(d, ["host"], F.col("pri").cast("double"),
+                           F.struct("pri", "doc_id"), n_bins=8)
+    return ranked.select(
+        "doc_id", "host", F.col("rank").cast("long").alias("rank"),
+        ((F.col("rank") - 1) / _FETCH_RATE).cast("long").alias("bucket"),
+        F.pmod(F.col("rank") - 1, F.lit(_FETCH_RATE)).cast("long")
+        .alias("slot"))
