@@ -114,6 +114,7 @@ EXTRA = [
     "mm_cdc_chunks",
     "mm_cdc_dedup_ratio",
     "web_fetch_schedule",
+    "geo_geohash_assign",
 ]
 
 

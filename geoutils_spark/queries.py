@@ -5050,3 +5050,36 @@ def web_fetch_schedule(spark, sf_dir):
         ((F.col("rank") - 1) / _FETCH_RATE).cast("long").alias("bucket"),
         F.pmod(F.col("rank") - 1, F.lit(_FETCH_RATE)).cast("long")
         .alias("slot"))
+
+
+from geoutils_spark.functions import geohash as GH  # noqa: E402
+
+
+@register("geo_geohash_assign", f"""
+    WITH pts AS (
+      SELECT o_orderkey, {_LON} AS lon, {_LAT} AS lat FROM orders
+    ),
+    ax AS (
+      SELECT o_orderkey,
+             {GH.axis_x_sql('lon', 8)} AS x8, {GH.axis_y_sql('lat', 8)} AS y8
+      FROM pts
+    ),
+    v AS (SELECT o_orderkey, {GH.value_sql('x8', 'y8')} AS v8 FROM ax)
+    SELECT o_orderkey,
+           {GH.geohash_from_v_sql('v8', 8)} AS gh8,
+           substr({GH.geohash_from_v_sql('v8', 8)}, 1, 4) AS gh4
+    FROM v
+    """)
+def geo_geohash_assign(spark, sf_dir):
+    """Geohash assignment (functions/geohash.py): the base32 public-grid
+    key completing the index-family coverage (Morton cells, TRUE S2,
+    H3-style hexes, geohash). Pure bit math through the shared nibble-
+    spread kernel; prefix nesting (gh4 == gh8[:4]) falls out of the
+    MSB-first interleave, so the parent rollup is a substring, not a
+    recompute. Oracle stages x/y/v in CTE columns (the spread macro
+    expands its argument ~2^5 times) and replays the identical base32
+    extraction. Pinned published goldens (u4pruydq, ezs4) in pytest."""
+    df = _orders_points(spark, sf_dir)
+    gh8 = GH.geohash_col(F.col("lon"), F.col("lat"), 8)
+    return df.select("o_orderkey", gh8.alias("gh8"),
+                     F.substring(gh8, 1, 4).alias("gh4"))
