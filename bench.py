@@ -115,6 +115,7 @@ EXTRA = [
     "mm_cdc_dedup_ratio",
     "web_fetch_schedule",
     "geo_geohash_assign",
+    "geo_dp_simplify",
 ]
 
 

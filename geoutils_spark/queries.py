@@ -5083,3 +5083,67 @@ def geo_geohash_assign(spark, sf_dir):
     gh8 = GH.geohash_col(F.col("lon"), F.col("lat"), 8)
     return df.select("o_orderkey", gh8.alias("gh8"),
                      F.substring(gh8, 1, 4).alias("gh4"))
+
+
+from geoutils_spark.operators import simplify as SIMP  # noqa: E402
+
+_DP_TOL2 = 1.6e-05   # tol = 0.004 deg, squared once driver-side
+_DP_DEPTH = 4
+
+_DP_LINES_SQL = """
+      SELECT w.way_id,
+             list_transform(range(0, 24),
+                            i -> CAST(i AS DOUBLE) * CAST(0.01 AS DOUBLE))
+               AS xs,
+             list_transform(range(0, 24),
+                            i -> CAST((w.way_id + 1) * (i * i * 7 + i) % 11
+                                      - 5 AS DOUBLE)
+                                 * CAST(0.003 AS DOUBLE)) AS ys
+      FROM (SELECT CAST(r.range AS BIGINT) AS way_id FROM range(60) r) w
+"""
+
+
+@register("geo_dp_simplify", f"""
+    WITH lines AS ({_DP_LINES_SQL}),
+    l0 AS (SELECT way_id, xs, ys,
+                  [0, CAST(len(xs) - 1 AS BIGINT)] AS kept FROM lines),
+    l1 AS (SELECT way_id, xs, ys,
+                  {SIMP.dp_level_sql('kept', 'xs', 'ys', _DP_TOL2)} AS kept
+           FROM l0),
+    l2 AS (SELECT way_id, xs, ys,
+                  {SIMP.dp_level_sql('kept', 'xs', 'ys', _DP_TOL2)} AS kept
+           FROM l1),
+    l3 AS (SELECT way_id, xs, ys,
+                  {SIMP.dp_level_sql('kept', 'xs', 'ys', _DP_TOL2)} AS kept
+           FROM l2),
+    l4 AS (SELECT way_id, xs, ys,
+                  {SIMP.dp_level_sql('kept', 'xs', 'ys', _DP_TOL2)} AS kept
+           FROM l3)
+    SELECT way_id,
+           CAST(len(kept) AS INT) AS n_kept,
+           array_to_string(kept, ',') AS kept_idx
+    FROM l4
+    """)
+def geo_dp_simplify(spark, sf_dir):
+    """Depth-bounded Douglas-Peucker (operators/simplify.py): the map-
+    generalization stage for zoomed-out tiles. Depth 4 over synthetic
+    zig-zag polylines (integer-derived, exact both dialects); the oracle
+    unrolls the SAME four split levels as CTEs, so the full split
+    TRAJECTORY (which vertex each chord splits at, ties to lowest index,
+    threshold in cross^2 vs tol^2*seg^2 form — no sqrt/div drift) is
+    hash-checked, not just the final count. Kernel is per-polyline numpy
+    in an Arrow UDF: row-local, zero exchanges, worst case 2^depth
+    splits per polyline."""
+    i = None  # noqa: F841  (doc symmetry with the SQL synth)
+    w = F.col("way_id")
+    seq = F.sequence(F.lit(0), F.lit(23))
+    xs = F.transform(seq, lambda j: j.cast("double") * F.lit(0.01))
+    ys = F.transform(
+        seq,
+        lambda j: ((w + 1) * (j * j * 7 + j) % 11 - 5).cast("double")
+        * F.lit(0.003))
+    lines = spark.range(60).select(
+        F.col("id").alias("way_id"), xs.alias("xs"), ys.alias("ys"))
+    out = SIMP.simplify_polylines(lines, _DP_TOL2, _DP_DEPTH)
+    return out.select("way_id", F.size("kept").alias("n_kept"),
+                      F.array_join("kept", ",").alias("kept_idx"))
