@@ -116,6 +116,7 @@ EXTRA = [
     "web_fetch_schedule",
     "geo_geohash_assign",
     "geo_dp_simplify",
+    "geo_quadkey_assign",
 ]
 
 

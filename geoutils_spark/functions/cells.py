@@ -463,3 +463,26 @@ def cell_from_tile_sql(x: str, y: str, level: int) -> str:
     morton = f"({_spread_sql(x)} | ({_spread_sql(y)} << 1))"
     s = 2 * (MAX_CELL_LEVEL - level)
     return f"((({morton}) << {s + 1}) | {1 << s})"
+
+
+# ---------------------------------------------------------------------------
+# Bing/Azure quadkeys — base-4 Morton interop
+# ---------------------------------------------------------------------------
+
+def quadkey_col(lon: Column, lat: Column, level: int) -> Column:
+    """Bing-style quadkey (base-4 Morton string, digit = y_bit<<1 | x_bit
+    — exactly this module's cell bit order, so a quadkey is the cell id's
+    Morton rendered base-4): the interop key for Bing/Azure Maps tile
+    URLs. Prefix-nesting for free (parent = substring), like geohash."""
+    if not 1 <= level <= 23:
+        raise ValueError(f"quadkey level in [1, 23] required, got {level}")
+    x, y = tile_xy_col(lon, lat, level)
+    morton = _spread_col(x).bitwiseOR(F.shiftleft(_spread_col(y), 1))
+    return F.lpad(F.conv(morton.cast("string"), 10, 4), level, "0")
+
+
+def quadkey_sql(x_col: str, y_col: str, level: int) -> str:
+    """DuckDB twin over STAGED tile columns (the spread macro expands its
+    argument ~2^5 times — stage x/y in a CTE)."""
+    morton = f"({_spread_sql(x_col)} | ({_spread_sql(y_col)} << 1))"
+    return f"lpad(to_base({morton}, 4), {level}, '0')"

@@ -5147,3 +5147,30 @@ def geo_dp_simplify(spark, sf_dir):
     out = SIMP.simplify_polylines(lines, _DP_TOL2, _DP_DEPTH)
     return out.select("way_id", F.size("kept").alias("n_kept"),
                       F.array_join("kept", ",").alias("kept_idx"))
+
+
+@register("geo_quadkey_assign", f"""
+    WITH pts AS (
+      SELECT o_orderkey, {_LON} AS lon, {_LAT} AS lat FROM orders
+    ),
+    t AS (
+      SELECT o_orderkey,
+             {C.tile_x_sql('lon', 14)} AS tx, {C.tile_y_sql('lat', 14)} AS ty
+      FROM pts
+    )
+    SELECT o_orderkey,
+           {C.quadkey_sql('tx', 'ty', 14)} AS qk14,
+           substr({C.quadkey_sql('tx', 'ty', 14)}, 1, 11) AS qk11
+    FROM t
+    """)
+def geo_quadkey_assign(spark, sf_dir):
+    """Bing/Azure quadkeys (functions/cells.py quadkey_col): the base-4
+    rendering of this engine's own Morton cell order (digit =
+    y_bit<<1 | x_bit), so tile-URL interop costs one conv — no second
+    index. Prefix nesting (qk11 == qk14[:11]) is a substring, like
+    geohash parents. Oracle stages tile x/y then replays
+    lpad(to_base(morton, 4))."""
+    df = _orders_points(spark, sf_dir)
+    qk = C.quadkey_col(F.col("lon"), F.col("lat"), 14)
+    return df.select("o_orderkey", qk.alias("qk14"),
+                     F.substring(qk, 1, 11).alias("qk11"))

@@ -133,3 +133,25 @@ def test_property_invariants_numpy():
             assert int(pty[0]) == int(ty[0]) >> (level - plevel)
 
     check()
+
+
+def test_quadkey_bing_golden_and_nesting(spark):
+    """Bing's documented example: tile (3, 5) at level 3 -> '213'. Derive
+    a lon/lat hitting that tile, then check digit order and prefix
+    nesting against the cell id's own tile decode."""
+    from pyspark.sql import functions as F
+
+    # center of tile (3,5) @ z3: unit u=(3.5/8), v=(5.5/8)
+    import math
+    u, v = 3.5 / 8, 5.5 / 8
+    lon = u * 360.0 - 180.0
+    lat = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * v))))
+    df = spark.createDataFrame([(lon, lat)], "lon double, lat double")
+    qk3 = C.quadkey_col(F.col("lon"), F.col("lat"), 3)
+    qk5 = C.quadkey_col(F.col("lon"), F.col("lat"), 5)
+    r = df.select(qk3.alias("q3"), qk5.alias("q5")).first()
+    assert r["q3"] == "213"
+    assert r["q5"][:3] == "213"   # prefix nesting
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        C.quadkey_col(F.col("lon"), F.col("lat"), 0)
