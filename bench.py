@@ -117,6 +117,7 @@ EXTRA = [
     "geo_geohash_assign",
     "geo_dp_simplify",
     "geo_quadkey_assign",
+    "geo_spherical_area",
 ]
 
 

@@ -168,3 +168,36 @@ def make_lla_to_ecef_udf():
         return pd.DataFrame({"x": xyz[:, 0], "y": xyz[:, 1], "z": xyz[:, 2]})
 
     return lla_to_ecef
+
+
+def spherical_area_col(xs: Column, ys: Column) -> Column:
+    """Signed spherical polygon area (m^2) by the Chamberlain-Duquette
+    line integral (JPL 2007; the formula turf.js/geographiclib-lite
+    implementations use): R^2/2 * sum over edges of
+    (lam2 - lam1) * (2 + sin(phi1) + sin(phi2)), radians. Exact for
+    edges along parallels/meridians (the fixture grid), the standard
+    small-edge spherical approximation elsewhere. The edge sum is an
+    explicit LEFT FOLD (F.aggregate) so the oracle twin (list_reduce)
+    adds in the identical IEEE order — the chain-sum discipline.
+    ``xs``/``ys`` are open rings in degrees (first vertex NOT repeated);
+    positive = counter-clockwise."""
+    n = F.size(xs)
+    terms = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: (F.radians(F.element_at(xs, F.pmod(i, n) + 1))
+                   - F.radians(F.element_at(xs, i)))
+        * (F.lit(2.0) + F.sin(F.radians(F.element_at(ys, i)))
+           + F.sin(F.radians(F.element_at(ys, F.pmod(i, n) + 1)))))
+    s = F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
+    return s * F.lit(-float(EARTH_RADIUS_M) * float(EARTH_RADIUS_M) / 2.0)
+
+
+def spherical_area_sql(xs: str, ys: str) -> str:
+    r2h = -float(EARTH_RADIUS_M) * float(EARTH_RADIUS_M) / 2.0
+    nxt = f"(i % len({xs})) + 1"
+    term = (f"(RADIANS({xs}[{nxt}]) - RADIANS({xs}[i]))"
+            f" * (CAST(2.0 AS DOUBLE) + SIN(RADIANS({ys}[i]))"
+            f" + SIN(RADIANS({ys}[{nxt}])))")
+    return (f"(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, len({xs}) + 1), i -> {term})), "
+            f"(acc, t) -> acc + t) * CAST({r2h!r} AS DOUBLE))")

@@ -5174,3 +5174,41 @@ def geo_quadkey_assign(spark, sf_dir):
     qk = C.quadkey_col(F.col("lon"), F.col("lat"), 14)
     return df.select("o_orderkey", qk.alias("qk14"),
                      F.substring(qk, 1, 11).alias("qk11"))
+
+
+from geoutils_spark.functions.geodesy import (  # noqa: E402
+    spherical_area_col,
+    spherical_area_sql,
+)
+
+
+@register("geo_spherical_area", f"""
+    WITH grid AS ({_grid_sql()}),
+    rings AS (
+      SELECT way_id,
+             [minx, maxx, maxx, minx] AS xs,
+             [miny, miny, maxy, maxy] AS ys
+      FROM grid
+    )
+    SELECT way_id,
+           ROUND({spherical_area_sql('xs', 'ys')}, 6) AS area_m2
+    FROM rings
+    """)
+def geo_spherical_area(spark, sf_dir):
+    """Geodesic (spherical) polygon area via the Chamberlain-Duquette
+    line integral (geodesy.spherical_area_col) — true ground-truth m^2
+    for the fixture buildings, where the planar shoelace in degrees is
+    distorted by cos(lat) ~ 0.62 at London. Exact for the fixtures'
+    parallel/meridian edges; the edge sum is an explicit left fold in
+    BOTH dialects so the IEEE addition order matches bit-for-bit.
+    Row-local trig, zero exchanges."""
+    polys = fixtures.polygons_df(spark).filter(F.col("kind") == "building")
+    xs = F.transform(F.sequence(F.lit(0), F.lit(3)), lambda i: F.element_at(
+        F.col("ring"), (i + 1).cast("int"))["lon"])
+    ys = F.transform(F.sequence(F.lit(0), F.lit(3)), lambda i: F.element_at(
+        F.col("ring"), (i + 1).cast("int"))["lat"])
+    d = polys.select("way_id", xs.alias("xs"), ys.alias("ys"))
+    return d.select(
+        "way_id",
+        F.round(spherical_area_col(F.col("xs"), F.col("ys")), 6)
+        .alias("area_m2"))

@@ -71,3 +71,31 @@ def test_mercator(spark):
     rows = df.select(x.alias("x"), y.alias("y")).collect()
     assert rows[0].x == 0.0 and abs(rows[0].y) < 1e-6
     assert abs(rows[1].x - (-5217.8)) < 1.0  # -0.0468724° at equator radius
+
+
+def test_spherical_area_rectangle_analytic(spark):
+    """For a lon/lat-aligned rectangle the C-D line integral reduces to
+    the exact spherical band area R^2 * dlam * (sin(lat2) - sin(lat1));
+    orientation flips the sign."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from geoutils_spark.constants import EARTH_RADIUS_M
+    from geoutils_spark.functions.geodesy import spherical_area_col
+
+    lon0, lon1, lat0, lat1 = -0.08, -0.02, 51.52, 51.55
+    ccw = ([lon0, lon1, lon1, lon0], [lat0, lat0, lat1, lat1])
+    cw = (list(reversed(ccw[0])), list(reversed(ccw[1])))
+    df = spark.createDataFrame(
+        [(1, *ccw), (2, *cw)],
+        "i long, xs array<double>, ys array<double>")
+    got = {r["i"]: r["a"] for r in df.select(
+        "i", spherical_area_col(F.col("xs"), F.col("ys")).alias("a"))
+        .collect()}
+    exact = (EARTH_RADIUS_M ** 2 * math.radians(lon1 - lon0)
+             * (math.sin(math.radians(lat1)) - math.sin(math.radians(lat0))))
+    assert abs(got[1] - exact) / exact < 1e-12
+    assert abs(got[2] + exact) / exact < 1e-12   # CW = negative
+    # sanity scale: ~4.17 km x ~3.34 km patch ~ 1.39e7 m^2
+    assert 1e7 < got[1] < 2e7
