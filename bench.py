@@ -118,6 +118,7 @@ EXTRA = [
     "geo_dp_simplify",
     "geo_quadkey_assign",
     "geo_spherical_area",
+    "web_main_content",
 ]
 
 

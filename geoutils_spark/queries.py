@@ -5212,3 +5212,61 @@ def geo_spherical_area(spark, sf_dir):
         "way_id",
         F.round(spherical_area_col(F.col("xs"), F.col("ys")), 6)
         .alias("area_m2"))
+
+
+from geoutils_spark.functions import blocks as BLK  # noqa: E402
+
+_BOILER_HTML_SQL = """
+      SELECT doc_id,
+             '<div><a href="/h">home</a> <a href="/a">about</a> nav</div>'
+             || '<p>' || text ||
+             CASE WHEN doc_id % 4 = 0
+                  THEN ' <a href="/ref">ref</a>' ELSE '' END || '</p>'
+             || CASE WHEN doc_id % 3 = 0 THEN '<div>short</div>' ELSE '' END
+             || '<footer><a href="/t">terms</a> <a href="/p">privacy</a>'
+             || ' (c) site' || CAST(doc_id % 23 AS VARCHAR) || '</footer>'
+               AS html
+      FROM documents
+"""
+
+
+@register("web_main_content", f"""
+    WITH pages AS ({_BOILER_HTML_SQL}),
+    s AS (SELECT doc_id, {BLK.blocks_sql('html')} AS bl FROM pages)
+    SELECT doc_id,
+           CAST({BLK.block_stats_sqls('bl')['n_blocks']} AS INT) AS n_blocks,
+           CAST({BLK.block_stats_sqls('bl')['n_kept']} AS INT) AS n_kept,
+           CAST({BLK.block_stats_sqls('bl')['content_chars']} AS BIGINT)
+             AS content_chars,
+           md5({BLK.main_content_sql('bl')}) AS content_md5
+    FROM s
+    """)
+def web_main_content(spark, sf_dir):
+    """Main-content extraction (functions/blocks.py): link-density
+    boilerplate removal — nav/footer link farms drop, article bodies
+    survive (with an inline reference link allowed by the 1/5 density
+    budget). Row-local block split + per-block integer density compare;
+    the kept text is md5-checked byte-exact against the oracle's
+    identical program. Complements (never touches) the versioned
+    textextract invariant; at scale this is a zero-exchange projection
+    ahead of the quality gates."""
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit('<div><a href="/h">home</a> <a href="/a">about</a> nav</div>'),
+        F.lit("<p>"), F.col("text"),
+        F.when(i % 4 == 0, F.lit(' <a href="/ref">ref</a>'))
+        .otherwise(F.lit("")),
+        F.lit("</p>"),
+        F.when(i % 3 == 0, F.lit("<div>short</div>")).otherwise(F.lit("")),
+        F.lit('<footer><a href="/t">terms</a> <a href="/p">privacy</a>'
+              " (c) site"),
+        (i % 23).cast("string"), F.lit("</footer>"))
+    d = _t(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
+    st = BLK.block_stats_cols(F.col("html"))
+    return d.select(
+        "doc_id",
+        st["n_blocks"].cast("int").alias("n_blocks"),
+        st["n_kept"].cast("int").alias("n_kept"),
+        st["content_chars"].cast("long").alias("content_chars"),
+        F.md5(BLK.main_content_col(F.col("html")).cast("binary"))
+        .alias("content_md5"))
