@@ -119,6 +119,8 @@ EXTRA = [
     "geo_quadkey_assign",
     "geo_spherical_area",
     "web_main_content",
+    "web_page_metadata",
+    "web_canonical_dedup",
 ]
 
 

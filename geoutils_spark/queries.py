@@ -5270,3 +5270,142 @@ def web_main_content(spark, sf_dir):
         st["content_chars"].cast("long").alias("content_chars"),
         F.md5(BLK.main_content_col(F.col("html")).cast("binary"))
         .alias("content_md5"))
+
+
+from geoutils_spark.functions import pagemeta as PM  # noqa: E402
+
+# deterministic <head> synth shared by spark/oracle sides: lang cycles
+# (one uppercase to exercise lower()), charset alternates and is absent
+# 1/11, title absent 1/7 (padded to exercise trim), og:title 1/3,
+# description 1/2, canonical 1/4 (10x25 key space -> 5-way collapse
+# groups among the multiples of 4), <h1> always present as the last
+# cascade fallback.
+_HEAD_SYNTH_SQL = """
+      SELECT doc_id,
+             '<html lang="'
+             || CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'DE'
+                ELSE 'fr' END
+             || '"><head>'
+             || CASE WHEN doc_id % 11 = 0 THEN ''
+                     WHEN doc_id % 2 = 0 THEN '<META charset="UTF-8">'
+                     ELSE '<meta charset="iso-8859-1">' END
+             || CASE WHEN doc_id % 7 = 0 THEN ''
+                     ELSE '<title> Doc ' || CAST(doc_id % 29 AS VARCHAR)
+                          || ' </title>' END
+             || CASE WHEN doc_id % 3 = 0
+                     THEN '<meta property="og:title" content="OG '
+                          || CAST(doc_id % 19 AS VARCHAR) || '">'
+                     ELSE '' END
+             || CASE WHEN doc_id % 2 = 0
+                     THEN '<meta name="description" content="d '
+                          || CAST(doc_id % 17 AS VARCHAR) || '">'
+                     ELSE '' END
+             || CASE WHEN doc_id % 4 = 0
+                     THEN '<link rel="canonical" href="https://canon'
+                          || CAST(doc_id % 10 AS VARCHAR) || '.example/p'
+                          || CAST(doc_id % 25 AS VARCHAR) || '">'
+                     ELSE '' END
+             || '</head><body><h1>H1 ' || CAST(doc_id % 13 AS VARCHAR)
+             || '</h1></body></html>' AS html
+      FROM documents
+"""
+
+
+def _docs_with_head_html(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    html = F.concat(
+        F.lit('<html lang="'),
+        F.when(i % 3 == 0, F.lit("en")).when(i % 3 == 1, F.lit("DE"))
+        .otherwise(F.lit("fr")),
+        F.lit('"><head>'),
+        F.when(i % 11 == 0, F.lit(""))
+        .when(i % 2 == 0, F.lit('<META charset="UTF-8">'))
+        .otherwise(F.lit('<meta charset="iso-8859-1">')),
+        F.when(i % 7 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("<title> Doc "), s(i % 29),
+                            F.lit(" </title>"))),
+        F.when(i % 3 == 0,
+               F.concat(F.lit('<meta property="og:title" content="OG '),
+                        s(i % 19), F.lit('">'))).otherwise(F.lit("")),
+        F.when(i % 2 == 0,
+               F.concat(F.lit('<meta name="description" content="d '),
+                        s(i % 17), F.lit('">'))).otherwise(F.lit("")),
+        F.when(i % 4 == 0,
+               F.concat(F.lit('<link rel="canonical" href="https://canon'),
+                        s(i % 10), F.lit(".example/p"), s(i % 25),
+                        F.lit('">'))).otherwise(F.lit("")),
+        F.lit("</head><body><h1>H1 "), s(i % 13),
+        F.lit("</h1></body></html>"))
+    return d.select("doc_id", html.alias("html"))
+
+
+@register("web_page_metadata", f"""
+    WITH pages AS ({_HEAD_SYNTH_SQL})
+    SELECT doc_id,
+           {PM.lang_sql('html')} AS lang,
+           {PM.charset_sql('html')} AS charset,
+           {PM.title_sql('html')} AS title,
+           {PM.meta_content_sql('html', 'description')} AS description,
+           {U.url_host_sql(PM.canonical_sql('html'))} AS canonical_host,
+           {PM.display_title_sql('html')} AS display_title
+    FROM pages
+    """)
+def web_page_metadata(spark, sf_dir):
+    """HTML head-metadata extraction (functions/pagemeta.py): title /
+    meta description / canonical URL / charset / lang plus the
+    display-title cascade (og:title > <title> > first <h1> — the
+    reference's name-priority idea, osm2assimp nameFromTags, re-expressed
+    for pages). Pure regexp_extract codegen, zero exchanges — at 100 TB
+    this is a free projection on the crawl scan that feeds language
+    routing, decoder choice and canonical-URL dedup."""
+    p = _docs_with_head_html(spark, sf_dir)
+    h = F.col("html")
+    return p.select(
+        "doc_id",
+        PM.lang_col(h).alias("lang"),
+        PM.charset_col(h).alias("charset"),
+        PM.title_col(h).alias("title"),
+        PM.meta_content_col(h, "description").alias("description"),
+        U.url_host_col(PM.canonical_col(h)).alias("canonical_host"),
+        PM.display_title_col(h).alias("display_title"))
+
+
+@register("web_canonical_dedup", f"""
+    WITH pages AS ({_HEAD_SYNTH_SQL}),
+    keyed AS (
+      SELECT doc_id,
+             CASE WHEN {PM.canonical_sql('html')} <> ''
+                  THEN {PM.canonical_sql('html')}
+                  ELSE 'https://self' || CAST(doc_id AS VARCHAR)
+                       || '.example/' END AS ckey
+      FROM pages
+    )
+    SELECT ckey, COUNT(*) AS n_dups, MIN(doc_id) AS keeper
+    FROM keyed GROUP BY ckey HAVING COUNT(*) > 1
+    """)
+def web_canonical_dedup(spark, sf_dir):
+    """Canonical-URL collapse — the dedup stage that kills print/AMP/
+    session-id variants BEFORE any content hashing: pages declaring the
+    same <link rel=canonical> form one group whose keeper is the lowest
+    doc_id; pages without a canonical key to their own (unique) URL and
+    never group. One hash-aggregate exchange keyed on the canonical
+    string (ids only — page payloads never shuffle); the keeper set
+    then semi-joins back onto the source scan exactly like
+    exact-dedup's min-id keeper (operators/corpus.py)."""
+    p = _docs_with_head_html(spark, sf_dir)
+    ckey = PM.canonical_col(F.col("html"))
+    keyed = p.select(
+        "doc_id",
+        F.when(ckey != "", ckey)
+        .otherwise(F.concat(F.lit("https://self"),
+                            F.col("doc_id").cast("string"),
+                            F.lit(".example/"))).alias("ckey"))
+    return (keyed.groupBy("ckey")
+            .agg(F.count(F.lit(1)).alias("n_dups"),
+                 F.min("doc_id").alias("keeper"))
+            .filter(F.col("n_dups") > 1))

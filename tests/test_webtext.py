@@ -171,3 +171,57 @@ def test_surt_key_canonicalization(spark):
     assert got[3] == "example,x)/p?only=1"
     # domain-contiguity: keys of one registered domain share a prefix
     assert got[0].startswith("example,site") and got[2].startswith("example,site")
+
+
+# ------------------------------------------------------------------ pagemeta
+
+def test_pagemeta_fields(spark):
+    from geoutils_spark.functions import pagemeta as PM
+    html = ('<html lang="EN-us"><head><META charset="UTF-8">'
+            '<title>  A Page  </title>'
+            '<meta property="og:title" content="OG Wins">'
+            '<meta name="description" content="a desc">'
+            '<link rel="canonical" href="https://c.example/p1">'
+            '</head><body><h1>Head One</h1></body></html>')
+    row = spark.createDataFrame([(html,)], ["h"]).select(
+        PM.lang_col(F.col("h")).alias("lang"),
+        PM.charset_col(F.col("h")).alias("cs"),
+        PM.title_col(F.col("h")).alias("t"),
+        PM.meta_content_col(F.col("h"), "description").alias("d"),
+        PM.canonical_col(F.col("h")).alias("c"),
+        PM.display_title_col(F.col("h")).alias("dt"),
+    ).collect()[0]
+    assert row["lang"] == "en-us"          # BCP 47 case-folded
+    assert row["cs"] == "utf-8"            # (?i) tag + lower()
+    assert row["t"] == "A Page"            # trimmed
+    assert row["d"] == "a desc"
+    assert row["c"] == "https://c.example/p1"
+    assert row["dt"] == "OG Wins"          # og:title beats <title>
+
+
+def test_pagemeta_title_cascade(spark):
+    from geoutils_spark.functions import pagemeta as PM
+    # no og:title -> <title>; neither -> first <h1>; nothing -> ''
+    cases = [
+        ("<title>T</title><h1>H</h1>", "T"),
+        ('<meta property="og:title" content="  ">'
+         "<title>T2</title>", "T2"),      # whitespace og falls through
+        ("<h1>Only H1</h1><h1>Second</h1>", "Only H1"),
+        ("<p>no heads</p>", ""),
+    ]
+    df = spark.createDataFrame(cases, ["h", "want"]).select(
+        PM.display_title_col(F.col("h")).alias("got"), "want")
+    for r in df.collect():
+        assert r["got"] == r["want"]
+
+
+def test_pagemeta_absent_fields_empty(spark):
+    from geoutils_spark.functions import pagemeta as PM
+    row = spark.createDataFrame([("<html><head></head></html>",)], ["h"]) \
+        .select(
+            PM.lang_col(F.col("h")).alias("lang"),
+            PM.charset_col(F.col("h")).alias("cs"),
+            PM.canonical_col(F.col("h")).alias("c"),
+            PM.meta_content_col(F.col("h"), "description").alias("d"),
+        ).collect()[0]
+    assert (row["lang"], row["cs"], row["c"], row["d"]) == ("", "", "", "")
