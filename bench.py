@@ -121,6 +121,8 @@ EXTRA = [
     "web_main_content",
     "web_page_metadata",
     "web_canonical_dedup",
+    "text_sentences",
+    "text_zipf_fit",
 ]
 
 

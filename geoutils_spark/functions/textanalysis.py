@@ -237,3 +237,30 @@ def fingerprint_sql(text: str, k_shingle: int = 3, bottom_k: int = 8) -> str:
         f"list_sort(list_transform({word_shingles_sql(text, k_shingle)}, s -> md5(s)))"
     )
     return f"md5(array_to_string(({hashes})[1:{bottom_k}], ''))"
+
+
+# ---------------------------------------------------------------------------
+# Sentence segmentation (r5)
+# ---------------------------------------------------------------------------
+
+# boundary = terminal punctuation run's last char followed by spaces.
+# Deterministic dependency-free core (no abbreviation lexicon — "Mr. X"
+# splits; a lexicon slots in as an extra alternation, same shape both
+# dialects). RE2-safe: no lookaround — the boundary is rewritten to a
+# BEL sentinel (a byte that cannot survive textextract's control-char
+# scrub, so it never collides with content) and split on that.
+SENT_BOUND_RE = r"([.!?]) +"
+_SENT_SENTINEL = "\x07"
+
+
+def sentences_col(text: Column) -> Column:
+    """Array of sentences, terminators kept, empties dropped."""
+    marked = F.regexp_replace(text, SENT_BOUND_RE, "$1" + _SENT_SENTINEL)
+    return F.filter(F.split(marked, _SENT_SENTINEL), lambda s: s != "")
+
+
+def sentences_sql(text: str) -> str:
+    marked = (f"regexp_replace({text}, '{SENT_BOUND_RE}', "
+              f"'\\1{_SENT_SENTINEL}', 'g')")
+    return (f"list_filter(string_split({marked}, '{_SENT_SENTINEL}'), "
+            f"s -> s <> '')")

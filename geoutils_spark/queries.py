@@ -5409,3 +5409,111 @@ def web_canonical_dedup(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_dups"),
                  F.min("doc_id").alias("keeper"))
             .filter(F.col("n_dups") > 1))
+
+
+@register("text_sentences", f"""
+    WITH s AS (
+      SELECT doc_id, {TA.sentences_sql('text')} AS sen FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(sen) AS INT) AS n_sent,
+           CAST(list_aggregate(list_transform(sen, x -> len(x)), 'max')
+                AS INT) AS max_chars,
+           md5(sen[1]) AS first_md5
+    FROM s
+    """)
+def text_sentences(spark, sf_dir):
+    """Sentence segmentation (textanalysis.sentences_col): terminal
+    punctuation + space boundaries rewritten to a BEL sentinel (RE2-safe
+    — no lookbehind in either engine) then split; terminators kept,
+    empties dropped. The unit the per-sentence dedup / repetition /
+    readability family works on. Row-local codegen, zero exchanges;
+    first sentence md5-checked byte-exact vs the oracle."""
+    d = _t(spark, sf_dir, "documents")
+    sen = TA.sentences_col(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(sen).cast("int").alias("n_sent"),
+        F.array_max(F.transform(sen, F.length)).cast("int")
+        .alias("max_chars"),
+        F.md5(F.try_element_at(sen, F.lit(1)).cast("binary"))
+        .alias("first_md5"))
+
+
+@register("text_zipf_fit", f"""
+    WITH t AS (
+      SELECT UNNEST({TA.tokens_sql('text')}) AS term FROM documents
+    ),
+    c AS (
+      SELECT term, COUNT(*) AS n FROM t WHERE term <> '' GROUP BY term
+    ),
+    top AS (
+      SELECT term, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) AS rank
+      FROM c QUALIFY rank <= 100
+    ),
+    packed AS (
+      SELECT list(ln(CAST(rank AS DOUBLE)) ORDER BY rank) AS xs,
+             list(ln(CAST(n AS DOUBLE)) ORDER BY rank) AS ys,
+             list(ln(CAST(rank AS DOUBLE)) * ln(CAST(n AS DOUBLE))
+                  ORDER BY rank) AS xy,
+             list(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))
+                  ORDER BY rank) AS xx
+      FROM top
+    ),
+    s AS (
+      SELECT CAST(len(xs) AS DOUBLE) AS k,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
+                         (a, b) -> a + b) AS sx,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ys),
+                         (a, b) -> a + b) AS sy,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xy),
+                         (a, b) -> a + b) AS sxy,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xx),
+                         (a, b) -> a + b) AS sxx
+      FROM packed
+    )
+    SELECT CAST(k AS INT) AS n_terms,
+           ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k,
+                 6) AS intercept
+    FROM s
+    """)
+def text_zipf_fit(spark, sf_dir):
+    """Zipf rank-frequency power-law fit: log-log OLS slope over the top
+    100 corpus terms (Zipf's law predicts ~ -1; a corpus whose slope
+    drifts far off is boilerplate- or spam-skewed — a cheap corpus-level
+    QUALITY diagnostic next to the per-doc gates). Plan: token explode ->
+    map-side-combining count agg (the only corpus exchange, vocab-keyed)
+    -> vocab-bounded top-100 -> all sums as EXPLICIT rank-ordered left
+    folds (F.aggregate / list_reduce) so the IEEE addition order matches
+    the oracle bit-for-bit — the chain-sum discipline."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(TA.tokens_col(F.col("text"))).alias("term")) \
+        .filter(F.col("term") != "")
+    counted = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    top = counted.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= 100)
+    packed = top.agg(
+        F.sort_array(F.collect_list(F.struct("rank", "n"))).alias("rn"))
+
+    def fold(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)
+
+    rn = F.col("rn")
+    lx = lambda e: F.log(e["rank"].cast("double"))       # noqa: E731
+    ly = lambda e: F.log(e["n"].cast("double"))          # noqa: E731
+    s = packed.select(
+        F.size(rn).cast("double").alias("k"),
+        fold(F.transform(rn, lx)).alias("sx"),
+        fold(F.transform(rn, ly)).alias("sy"),
+        fold(F.transform(rn, lambda e: lx(e) * ly(e))).alias("sxy"),
+        fold(F.transform(rn, lambda e: lx(e) * lx(e))).alias("sxx"))
+    k, sx, sy = F.col("k"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    return s.select(
+        k.cast("int").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / k, 6).alias("intercept"))

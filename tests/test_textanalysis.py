@@ -84,3 +84,24 @@ def test_lm_and_tfidf_vocab_tables_broadcast(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan, (name, plan)
         assert "SortMergeJoin" not in plan, (name, plan)
+
+
+# ----------------------------------------------------------------- sentences
+
+def test_sentences_edges(spark):
+    cases = [
+        ("One two. Three four! Five? Six.",
+         ["One two.", "Three four!", "Five?", "Six."]),
+        ("no terminator at all", ["no terminator at all"]),
+        ("", []),                                  # empty text -> no sentences
+        ("Spaced.   Out.", ["Spaced.", "Out."]),   # multi-space boundary
+        ("Ell... ipsis. End.", ["Ell...", "ipsis.", "End."]),
+        ("Mr. Smith went.", ["Mr.", "Smith went."]),  # documented: no lexicon
+    ]
+    import pyspark.sql.functions as F
+    from geoutils_spark.functions import textanalysis as TA
+    df = spark.createDataFrame(
+        [(t, w) for t, w in cases], ["t", "want"]).select(
+        TA.sentences_col(F.col("t")).alias("got"), "want")
+    for r in df.collect():
+        assert r["got"] == r["want"], (r["got"], r["want"])
