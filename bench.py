@@ -123,6 +123,7 @@ EXTRA = [
     "web_canonical_dedup",
     "text_sentences",
     "text_zipf_fit",
+    "web_registered_domain",
 ]
 
 

@@ -210,3 +210,45 @@ def surt_key_sql(url: str) -> str:
     qs = f"array_to_string(list_sort(string_split({q}, '&')), '&')"
     return (f"({rev} || ')' || {p} || "
             f"CASE WHEN {q} = '' THEN '' ELSE '?' || {qs} END)")
+
+
+# ---------------------------------------------------------------------------
+# Public-suffix-list registered domain (r5) — the dim-table upgrade the
+# two-label url_domain_col docstring promises
+# ---------------------------------------------------------------------------
+
+def registered_domain_join(df: DataFrame, psl: DataFrame,
+                           host_col: str = "host") -> DataFrame:
+    """Registered domain under a real public-suffix TABLE (PSL-style:
+    exact suffix entries, e.g. 'com', 'co.uk'; the wildcard/exception
+    rows of the full PSL are a documented out-of-subset layer).
+
+    Plan (the shape that survives 100 TB): distinct hosts first — the
+    host dim is orders of magnitude smaller than the corpus — then each
+    host explodes into its bounded dot-suffixes (ids only, <= ~10 by DNS
+    label rules), the PSL broadcasts into an equi-join (no endswith
+    NestedLoop), the LONGEST match wins via max_by (unique per host:
+    matching suffixes of one host nest, so their lengths are distinct),
+    and the per-host result equi-joins back. Two host-keyed exchanges
+    total; page payloads never move. Hosts matching no PSL entry get
+    NULL suffix/domain; a host that IS a bare suffix gets domain ''.
+
+    ``psl`` must have a ``suffix`` column (lowercase)."""
+    h = F.lower(F.col(host_col))
+    hosts = df.select(h.alias("__h")).distinct()
+    sufx = hosts.select(
+        "__h", F.explode(host_suffixes_col(F.col("__h"))).alias("__s"))
+    m = sufx.join(
+        F.broadcast(psl.select(F.lower(F.col("suffix")).alias("__s"))),
+        "__s", "inner")
+    best = m.groupBy("__h").agg(
+        F.max_by("__s", F.length("__s")).alias("public_suffix"))
+    labels = F.split(F.col("__h"), r"\.")
+    k = F.size(F.split(F.col("public_suffix"), r"\."))
+    n = F.size(labels)
+    rd = F.when(n > k, F.array_join(F.slice(labels, n - k, k + 1), ".")) \
+        .otherwise(F.lit(""))
+    per_host = best.select(
+        "__h", "public_suffix", rd.alias("registered_domain"))
+    return (df.withColumn("__h", h)
+            .join(per_host, "__h", "left").drop("__h"))

@@ -5517,3 +5517,79 @@ def text_zipf_fit(spark, sf_dir):
         k.cast("int").alias("n_terms"),
         F.round(slope, 6).alias("slope"),
         F.round((sy - slope * sx) / k, 6).alias("intercept"))
+
+
+_PSL_SUBSET = ["com", "org", "example", "co.uk", "ac.uk", "com.au", "uk"]
+
+_PSL_HOST_SYNTH_SQL = """
+      SELECT doc_id,
+             CASE doc_id % 6
+               WHEN 0 THEN 'site' || CAST(doc_id % 13 AS VARCHAR) || '.co.uk'
+               WHEN 1 THEN 'sub' || CAST(doc_id % 7 AS VARCHAR) || '.site'
+                           || CAST(doc_id % 13 AS VARCHAR) || '.com'
+               WHEN 2 THEN 'x.y.site' || CAST(doc_id % 13 AS VARCHAR)
+                           || '.com.au'
+               WHEN 3 THEN 'site' || CAST(doc_id % 13 AS VARCHAR)
+                           || '.example'
+               WHEN 4 THEN 'co.uk'
+               ELSE 'site' || CAST(doc_id % 13 AS VARCHAR) || '.test'
+             END AS host
+      FROM documents
+"""
+
+
+@register("web_registered_domain", f"""
+    WITH psl(sfx) AS (
+      SELECT * FROM (VALUES {", ".join(f"('{s}')" for s in _PSL_SUBSET)})
+    ),
+    hosts AS ({_PSL_HOST_SYNTH_SQL}),
+    sufx AS (
+      SELECT host, UNNEST({U.host_suffixes_sql('host')}) AS s
+      FROM (SELECT DISTINCT host FROM hosts)
+    ),
+    best AS (
+      SELECT host, s AS public_suffix FROM (
+        SELECT host, s,
+               ROW_NUMBER() OVER (PARTITION BY host
+                                  ORDER BY len(s) DESC) AS rn
+        FROM sufx JOIN psl ON s = sfx
+      ) WHERE rn = 1
+    ),
+    rd AS (
+      SELECT host, public_suffix,
+             CASE WHEN len(string_split(host, '.'))
+                       > len(string_split(public_suffix, '.'))
+                  THEN array_to_string(
+                    string_split(host, '.')[
+                      -(len(string_split(public_suffix, '.')) + 1):], '.')
+                  ELSE '' END AS registered_domain
+      FROM best
+    )
+    SELECT doc_id, h.host, r.public_suffix, r.registered_domain
+    FROM hosts h LEFT JOIN rd r USING (host)
+    """)
+def web_registered_domain(spark, sf_dir):
+    """Registered domain under a real public-suffix TABLE
+    (urls.registered_domain_join) — the dim-table upgrade of the
+    two-label url_domain_col rule: 'site3.co.uk' resolves under the
+    'co.uk' entry (the longest of its nested matches), a bare-suffix
+    host gets domain '', hosts off the list get NULLs. Distinct-host
+    explode + broadcast PSL equi-join (no endswith NestedLoop), max_by
+    longest match, per-host join-back — two host-keyed exchanges, page
+    payloads never move."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i, s = F.col("doc_id"), lambda c: c.cast("string")
+    host = F.when(i % 6 == 0, F.concat(F.lit("site"), s(i % 13),
+                                       F.lit(".co.uk"))) \
+        .when(i % 6 == 1, F.concat(F.lit("sub"), s(i % 7), F.lit(".site"),
+                                   s(i % 13), F.lit(".com"))) \
+        .when(i % 6 == 2, F.concat(F.lit("x.y.site"), s(i % 13),
+                                   F.lit(".com.au"))) \
+        .when(i % 6 == 3, F.concat(F.lit("site"), s(i % 13),
+                                   F.lit(".example"))) \
+        .when(i % 6 == 4, F.lit("co.uk")) \
+        .otherwise(F.concat(F.lit("site"), s(i % 13), F.lit(".test")))
+    hosts = d.select("doc_id", host.alias("host"))
+    psl = spark.createDataFrame([(x,) for x in _PSL_SUBSET], ["suffix"])
+    return U.registered_domain_join(hosts, psl).select(
+        "doc_id", "host", "public_suffix", "registered_domain")

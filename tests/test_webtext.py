@@ -225,3 +225,19 @@ def test_pagemeta_absent_fields_empty(spark):
             PM.meta_content_col(F.col("h"), "description").alias("d"),
         ).collect()[0]
     assert (row["lang"], row["cs"], row["c"], row["d"]) == ("", "", "", "")
+
+
+def test_registered_domain_join(spark):
+    psl = spark.createDataFrame(
+        [("com",), ("co.uk",), ("uk",)], ["suffix"])
+    hosts = spark.createDataFrame(
+        [(1, "A.Site.CO.UK"),   # case-folds; longest match co.uk beats uk
+         (2, "b.example.com"),
+         (3, "co.uk"),          # bare suffix -> domain ''
+         (4, "no.match.test")], ["id", "host"])
+    out = {r["id"]: (r["public_suffix"], r["registered_domain"])
+           for r in U.registered_domain_join(hosts, psl).collect()}
+    assert out[1] == ("co.uk", "site.co.uk")
+    assert out[2] == ("com", "example.com")
+    assert out[3] == ("co.uk", "")
+    assert out[4] == (None, None)
