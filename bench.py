@@ -124,6 +124,8 @@ EXTRA = [
     "text_sentences",
     "text_zipf_fit",
     "web_registered_domain",
+    "text_readability",
+    "text_vocab_growth",
 ]
 
 

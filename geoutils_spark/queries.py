@@ -5593,3 +5593,95 @@ def web_registered_domain(spark, sf_dir):
     psl = spark.createDataFrame([(x,) for x in _PSL_SUBSET], ["suffix"])
     return U.registered_domain_join(hosts, psl).select(
         "doc_id", "host", "public_suffix", "registered_domain")
+
+
+@register("text_readability", f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(list_filter({TA.tokens_sql('text')}, t -> t <> ''))
+                  AS DOUBLE) AS w,
+             CAST(len({TA.sentences_sql('text')}) AS DOUBLE) AS se,
+             CAST(len(regexp_extract_all(text, '[AEIOUYaeiouy]+'))
+                  AS DOUBLE) AS sy
+      FROM documents
+    )
+    SELECT doc_id, CAST(w AS INT) AS n_words, CAST(se AS INT) AS n_sents,
+           CAST(sy AS INT) AS n_syllables,
+           CASE WHEN w > 0 AND se > 0 THEN
+             ROUND(CAST(206.835 AS DOUBLE)
+                   - CAST(1.015 AS DOUBLE) * (w / se)
+                   - CAST(84.6 AS DOUBLE) * (sy / w), 4)
+           END AS flesch
+    FROM s
+    """)
+def text_readability(spark, sf_dir):
+    """Flesch reading-ease per document — the classic readability gate
+    (a corpus member next to Gopher/quality/perplexity: filter or
+    stratify by audience level). Syllables are the standard
+    dependency-free proxy — vowel-run count — words are non-empty
+    tokens, sentences come from textanalysis.sentences_col. Row-local
+    codegen, zero exchanges; the formula's literal structure (two
+    divisions, same order) is identical both dialects so round-4 doubles
+    hash-exact."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.size(F.filter(TA.tokens_col(F.col("text")),
+                        lambda t: t != "")).cast("double")
+    se = F.size(TA.sentences_col(F.col("text"))).cast("double")
+    sy = F.regexp_count(
+        F.col("text"), F.lit("[AEIOUYaeiouy]+")).cast("double")
+    st = d.select("doc_id", w.alias("w"), se.alias("se"), sy.alias("sy"))
+    w, se, sy = F.col("w"), F.col("se"), F.col("sy")
+    fre = (F.lit(206.835).cast("double")
+           - F.lit(1.015).cast("double") * (w / se)
+           - F.lit(84.6).cast("double") * (sy / w))
+    return st.select(
+        "doc_id", w.cast("int").alias("n_words"),
+        se.cast("int").alias("n_sents"), sy.cast("int").alias("n_syllables"),
+        F.when((w > 0) & (se > 0), F.round(fre, 4)).alias("flesch"))
+
+
+@register("text_vocab_growth", f"""
+    WITH n AS (SELECT COUNT(*) AS nd FROM documents),
+    t AS (
+      SELECT CAST(FLOOR(doc_id * 10.0 / nd) AS INT) AS bin,
+             UNNEST({TA.tokens_sql('text')}) AS term
+      FROM documents, n
+    ),
+    tok AS (
+      SELECT bin, COUNT(*) AS toks FROM t WHERE term <> '' GROUP BY bin
+    ),
+    firstb AS (
+      SELECT term, MIN(bin) AS fb FROM t WHERE term <> '' GROUP BY term
+    ),
+    vox AS (SELECT fb AS bin, COUNT(*) AS vocab FROM firstb GROUP BY fb)
+    SELECT tok.bin,
+           SUM(toks) OVER (ORDER BY tok.bin) AS cum_tokens,
+           SUM(COALESCE(vocab, 0)) OVER (ORDER BY tok.bin) AS cum_vocab
+    FROM tok LEFT JOIN vox ON tok.bin = vox.bin
+    """)
+def text_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth curve: the corpus in 10 doc-id
+    deciles, cumulative token count vs cumulative DISTINCT vocabulary —
+    the sublinear V ~ k*N^b curve every tokenizer-training and
+    dedup-sizing decision reads off. Distinct-vocab-over-a-prefix
+    without any per-prefix rescan: a term's first-occurrence bin is a
+    plain min() aggregation (map-side combining, term-keyed — the one
+    corpus exchange), then the growth curve is a 10-row cumulative
+    window. Integer-only output."""
+    d = _t(spark, sf_dir, "documents")
+    nd = d.agg(F.count(F.lit(1)).alias("nd"))
+    t = d.crossJoin(F.broadcast(nd)).select(
+        F.floor(F.col("doc_id") * 10.0 / F.col("nd")).cast("int").alias("bin"),
+        F.explode(TA.tokens_col(F.col("text"))).alias("term")) \
+        .filter(F.col("term") != "")
+    tok = t.groupBy("bin").agg(F.count(F.lit(1)).alias("toks"))
+    firstb = t.groupBy("term").agg(F.min("bin").alias("fb"))
+    vox = firstb.groupBy(F.col("fb").alias("vbin")) \
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    j = tok.join(vox, tok["bin"] == vox["vbin"], "left")
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    return j.select(
+        "bin",
+        F.sum("toks").over(w).alias("cum_tokens"),
+        F.sum(F.coalesce(F.col("vocab"), F.lit(0))).over(w)
+        .alias("cum_vocab"))
