@@ -126,6 +126,7 @@ EXTRA = [
     "web_registered_domain",
     "text_readability",
     "text_vocab_growth",
+    "web_sitemap_urls",
 ]
 
 

@@ -5685,3 +5685,98 @@ def text_vocab_growth(spark, sf_dir):
         F.sum("toks").over(w).alias("cum_tokens"),
         F.sum(F.coalesce(F.col("vocab"), F.lit(0))).over(w)
         .alias("cum_vocab"))
+
+
+from geoutils_spark.functions import sitemap as SM  # noqa: E402
+
+# deterministic sitemap synth shared by spark/oracle: 1/7 of docs are
+# INDEX files (2 child sitemaps), the rest urlsets with 3 urls — the
+# second url carries lastmod + priority, the third lastmod only.
+_SITEMAP_SYNTH_SQL = """
+      SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0 THEN
+          '<?xml version="1.0"?><sitemapindex>'
+          || '<sitemap><loc>https://h' || CAST(doc_id % 23 AS VARCHAR)
+          || '.example/s1.xml</loc>'
+          || '<lastmod>2024-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+          || '-01</lastmod></sitemap>'
+          || '<sitemap><loc>https://h' || CAST(doc_id % 23 AS VARCHAR)
+          || '.example/s2.xml</loc></sitemap>'
+          || '</sitemapindex>'
+        ELSE
+          '<?xml version="1.0"?><urlset>'
+          || '<url><loc> https://h' || CAST(doc_id % 23 AS VARCHAR)
+          || '.example/p' || CAST(doc_id AS VARCHAR) || ' </loc></url>'
+          || '<url><loc>https://h' || CAST(doc_id % 23 AS VARCHAR)
+          || '.example/q' || CAST(doc_id AS VARCHAR) || '</loc>'
+          || '<lastmod>2024-1' || CAST(doc_id % 2 AS VARCHAR)
+          || '-15</lastmod>'
+          || '<priority>0.' || CAST(doc_id % 10 AS VARCHAR)
+          || '</priority></url>'
+          || '<url><loc>https://h' || CAST((doc_id * 3) % 23 AS VARCHAR)
+          || '.example/r</loc><lastmod>2023-0'
+          || CAST(doc_id % 9 + 1 AS VARCHAR) || '-20</lastmod></url>'
+          || '</urlset>'
+        END AS xml
+      FROM documents
+"""
+
+
+def _docs_with_sitemaps(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i, s = F.col("doc_id"), lambda c: c.cast("string")
+    idx = F.concat(
+        F.lit('<?xml version="1.0"?><sitemapindex>'
+              "<sitemap><loc>https://h"), s(i % 23),
+        F.lit(".example/s1.xml</loc><lastmod>2024-0"), s(i % 9 + 1),
+        F.lit("-01</lastmod></sitemap><sitemap><loc>https://h"), s(i % 23),
+        F.lit(".example/s2.xml</loc></sitemap></sitemapindex>"))
+    uset = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'
+              "<url><loc> https://h"), s(i % 23),
+        F.lit(".example/p"), s(i), F.lit(" </loc></url>"
+                                         "<url><loc>https://h"), s(i % 23),
+        F.lit(".example/q"), s(i), F.lit("</loc><lastmod>2024-1"), s(i % 2),
+        F.lit("-15</lastmod><priority>0."), s(i % 10),
+        F.lit("</priority></url><url><loc>https://h"), s((i * 3) % 23),
+        F.lit(".example/r</loc><lastmod>2023-0"), s(i % 9 + 1),
+        F.lit("-20</lastmod></url></urlset>"))
+    xml = F.when(i % 7 == 0, idx).otherwise(uset)
+    return d.select("doc_id", xml.alias("xml"))
+
+
+@register("web_sitemap_urls", f"""
+    WITH sm AS ({_SITEMAP_SYNTH_SQL}),
+    e AS (
+      SELECT doc_id,
+             CASE WHEN {SM.is_index_sql('xml')} THEN 'sitemap'
+                  ELSE 'url' END AS kind,
+             UNNEST({SM.entry_blocks_sql('xml')}) AS block
+      FROM sm
+    )
+    SELECT doc_id, kind,
+           {SM.loc_sql('block')} AS loc,
+           {SM.lastmod_sql('block')} AS lastmod,
+           {SM.priority_sql('block')} AS priority
+    FROM e
+    """)
+def web_sitemap_urls(spark, sf_dir):
+    """Sitemap parsing (functions/sitemap.py) — the crawl-discovery
+    on-ramp: urlset files yield page URLs with lastmod/priority recrawl
+    hints, sitemapindex files yield child sitemaps to fetch (kind
+    column routes them back to the frontier). Entry blocks + fields are
+    shared-literal regexps ((?s) non-greedy — identical RE2/Java);
+    the explode carries (doc_id, block) only. Feeds web_fetch_schedule
+    and the recrawl scheduler's lastmod deltas."""
+    p = _docs_with_sitemaps(spark, sf_dir)
+    e = p.select(
+        "doc_id",
+        F.when(SM.is_index_col(F.col("xml")), F.lit("sitemap"))
+        .otherwise(F.lit("url")).alias("kind"),
+        F.explode(SM.entry_blocks_col(F.col("xml"))).alias("block"))
+    b = F.col("block")
+    return e.select(
+        "doc_id", "kind",
+        SM.loc_col(b).alias("loc"),
+        SM.lastmod_col(b).alias("lastmod"),
+        SM.priority_col(b).alias("priority"))

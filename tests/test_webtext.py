@@ -241,3 +241,28 @@ def test_registered_domain_join(spark):
     assert out[2] == ("com", "example.com")
     assert out[3] == ("co.uk", "")
     assert out[4] == (None, None)
+
+
+def test_sitemap_parsing(spark):
+    from geoutils_spark.functions import sitemap as SM
+    xml = ('<?xml version="1.0"?>\n<urlset>\n'
+           '<url>\n  <loc> https://a.example/p </loc>\n'
+           '  <lastmod>2024-01-02</lastmod>\n'
+           '  <priority>0.7</priority>\n</url>\n'
+           '<url><loc>https://a.example/q</loc></url>\n</urlset>')
+    row = spark.createDataFrame([(xml,)], ["x"]).select(
+        SM.is_index_col(F.col("x")).alias("idx"),
+        SM.entry_blocks_col(F.col("x")).alias("b")).collect()[0]
+    assert row["idx"] is False
+    assert len(row["b"]) == 2          # (?s) spans the newlines
+    one = spark.createDataFrame([(row["b"][0],)], ["b"]).select(
+        SM.loc_col(F.col("b")).alias("l"),
+        SM.lastmod_col(F.col("b")).alias("m"),
+        SM.priority_col(F.col("b")).alias("p")).collect()[0]
+    assert one["l"] == "https://a.example/p"   # loc trimmed
+    assert one["m"] == "2024-01-02"
+    assert one["p"] == "0.7"
+    idx = '<SitemapIndex><sitemap><loc>x</loc></sitemap></SitemapIndex>'
+    r2 = spark.createDataFrame([(idx,)], ["x"]).select(
+        SM.is_index_col(F.col("x")).alias("i")).collect()[0]
+    assert r2["i"] is True             # (?i) tag match
