@@ -127,6 +127,7 @@ EXTRA = [
     "text_readability",
     "text_vocab_growth",
     "web_sitemap_urls",
+    "web_http_headers",
 ]
 
 

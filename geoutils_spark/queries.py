@@ -5780,3 +5780,84 @@ def web_sitemap_urls(spark, sf_dir):
         SM.loc_col(b).alias("loc"),
         SM.lastmod_col(b).alias("lastmod"),
         SM.priority_col(b).alias("priority"))
+
+
+from geoutils_spark.functions import httphead as HH  # noqa: E402
+
+# deterministic HTTP response-block synth (the WARC payload shape,
+# sources/warc.py): status cycles 200/301/404, 301s carry Location,
+# content-type alternates html-with-charset / json / bare html,
+# header-name case varies to exercise (?im).
+_HTTP_SYNTH_SQL = r"""
+      SELECT doc_id,
+        'HTTP/1.1 '
+        || CASE doc_id % 5 WHEN 3 THEN '301 Moved Permanently'
+                           WHEN 4 THEN '404 Not Found'
+                           ELSE '200 OK' END
+        || chr(13) || chr(10)
+        || CASE WHEN doc_id % 3 = 0
+                THEN 'Content-Type: text/HTML; charset=UTF-8'
+                WHEN doc_id % 3 = 1
+                THEN 'content-type: application/json'
+                ELSE 'CONTENT-TYPE: text/html' END
+        || chr(13) || chr(10)
+        || CASE WHEN doc_id % 5 = 3
+                THEN 'Location: https://h' || CAST(doc_id % 23 AS VARCHAR)
+                     || '.example/moved' || chr(13) || chr(10)
+                ELSE '' END
+        || 'Server: srv' || CAST(doc_id % 4 AS VARCHAR)
+        || chr(13) || chr(10) || chr(13) || chr(10)
+        || '<html>body</html>' AS http
+      FROM documents
+"""
+
+
+def _docs_with_http(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i, s = F.col("doc_id"), lambda c: c.cast("string")
+    crlf = "\r\n"
+    http = F.concat(
+        F.lit("HTTP/1.1 "),
+        F.when(i % 5 == 3, F.lit("301 Moved Permanently"))
+        .when(i % 5 == 4, F.lit("404 Not Found")).otherwise(F.lit("200 OK")),
+        F.lit(crlf),
+        F.when(i % 3 == 0, F.lit("Content-Type: text/HTML; charset=UTF-8"))
+        .when(i % 3 == 1, F.lit("content-type: application/json"))
+        .otherwise(F.lit("CONTENT-TYPE: text/html")),
+        F.lit(crlf),
+        F.when(i % 5 == 3,
+               F.concat(F.lit("Location: https://h"), s(i % 23),
+                        F.lit(".example/moved" + crlf)))
+        .otherwise(F.lit("")),
+        F.lit("Server: srv"), s(i % 4),
+        F.lit(crlf + crlf + "<html>body</html>"))
+    return d.select("doc_id", http.alias("http"))
+
+
+@register("web_http_headers", f"""
+    WITH r AS ({_HTTP_SYNTH_SQL})
+    SELECT doc_id,
+           {HH.status_sql('http')} AS status,
+           {HH.content_type_sql('http')} AS content_type,
+           {HH.charset_param_sql('http')} AS charset,
+           {HH.header_sql('http', 'location')} AS location,
+           {HH.header_sql('http', 'server')} AS server
+    FROM r
+    """)
+def web_http_headers(spark, sf_dir):
+    """HTTP response-header parsing (functions/httphead.py) over the
+    raw blocks the WARC source carries: status routes (2xx keep / 3xx
+    Location back to the frontier / 4xx drop), Content-Type gates the
+    parser, its charset parameter is the decoder cascade's first layer
+    (pagemeta's <meta charset> is the in-body fallback). (?im)
+    shared-literal regexps, case-insensitive header names per RFC 9110;
+    row-local codegen, zero exchanges."""
+    p = _docs_with_http(spark, sf_dir)
+    h = F.col("http")
+    return p.select(
+        "doc_id",
+        HH.status_col(h).alias("status"),
+        HH.content_type_col(h).alias("content_type"),
+        HH.charset_param_col(h).alias("charset"),
+        HH.header_col(h, "location").alias("location"),
+        HH.header_col(h, "server").alias("server"))

@@ -266,3 +266,26 @@ def test_sitemap_parsing(spark):
     r2 = spark.createDataFrame([(idx,)], ["x"]).select(
         SM.is_index_col(F.col("x")).alias("i")).collect()[0]
     assert r2["i"] is True             # (?i) tag match
+
+
+def test_http_header_parsing(spark):
+    from geoutils_spark.functions import httphead as HH
+    blk = ("HTTP/1.1 301 Moved Permanently\r\n"
+           "CONTENT-TYPE: Text/HTML; charset=ISO-8859-1\r\n"
+           "Location: https://x.example/a\r\n"
+           "Location: https://x.example/b\r\n"   # repeated: first wins
+           "\r\nbody")
+    row = spark.createDataFrame([(blk,)], ["h"]).select(
+        HH.status_col(F.col("h")).alias("st"),
+        HH.content_type_col(F.col("h")).alias("ct"),
+        HH.charset_param_col(F.col("h")).alias("cs"),
+        HH.header_col(F.col("h"), "location").alias("loc")).collect()[0]
+    assert row["st"] == 301
+    assert row["ct"] == "text/html"
+    assert row["cs"] == "iso-8859-1"
+    assert row["loc"] == "https://x.example/a"
+    # non-HTTP block -> NULL status, empty fields
+    r2 = spark.createDataFrame([("not http",)], ["h"]).select(
+        HH.status_col(F.col("h")).alias("st"),
+        HH.content_type_col(F.col("h")).alias("ct")).collect()[0]
+    assert r2["st"] is None and r2["ct"] == ""
