@@ -128,6 +128,7 @@ EXTRA = [
     "text_vocab_growth",
     "web_sitemap_urls",
     "web_http_headers",
+    "web_language_fusion",
 ]
 
 

@@ -5861,3 +5861,82 @@ def web_http_headers(spark, sf_dir):
         HH.charset_param_col(h).alias("charset"),
         HH.header_col(h, "location").alias("location"),
         HH.header_col(h, "server").alias("server"))
+
+
+_LANG_FUSION_SYNTH_SQL = """
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 3 = 0 THEN
+               '<html lang="' || CASE doc_id % 4 WHEN 0 THEN 'de-AT'
+                 WHEN 1 THEN 'fr' WHEN 2 THEN 'EN-GB' ELSE 'pt-BR' END
+               || '"><body>x</body></html>'
+             ELSE '<html><body>x</body></html>' END AS html,
+             'site' || CAST(doc_id % 17 AS VARCHAR) ||
+             CASE doc_id % 5 WHEN 0 THEN '.de' WHEN 1 THEN '.fr'
+               WHEN 2 THEN '.com' WHEN 3 THEN '.org' ELSE '.co.uk' END
+               AS host
+      FROM documents
+"""
+
+_TLD_PRIOR = {"de": "de", "fr": "fr"}
+
+
+@register("web_language_fusion", f"""
+    WITH p AS ({_LANG_FUSION_SYNTH_SQL}),
+    f AS (
+      SELECT doc_id,
+             lower(regexp_extract({PM.lang_sql('html')}, '^([A-Za-z]+)', 1))
+               AS attr_lang,
+             {TA.langid_sql(TA.tokens_sql('text'))} AS content_lang,
+             {U.url_tld_sql('host')} AS tld
+      FROM p
+    )
+    SELECT doc_id, attr_lang, content_lang, tld,
+           CASE WHEN attr_lang <> '' THEN attr_lang
+                WHEN content_lang <> 'und' THEN content_lang
+                WHEN tld = 'de' THEN 'de' WHEN tld = 'fr' THEN 'fr'
+                ELSE 'und' END AS lang_final,
+           CASE WHEN attr_lang <> '' THEN 'attr'
+                WHEN content_lang <> 'und' THEN 'content'
+                WHEN tld IN ('de', 'fr') THEN 'tld'
+                ELSE 'none' END AS decided_by
+    FROM f
+    """)
+def web_language_fusion(spark, sf_dir):
+    """Language-decision fusion — the cascade a real pipeline runs
+    before routing documents to per-language corpora: the page's own
+    declaration (html lang primary subtag, pagemeta) wins when present,
+    else content n-gram/stopword langid (textanalysis), else a ccTLD
+    prior, else 'und'; ``decided_by`` records the deciding layer for
+    audit. Pure composition of three existing shared-literal builders —
+    row-local codegen, zero exchanges."""
+    p_ = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i, s = F.col("doc_id"), lambda c: c.cast("string")
+    html = F.when(i % 3 == 0, F.concat(
+        F.lit('<html lang="'),
+        F.when(i % 4 == 0, F.lit("de-AT")).when(i % 4 == 1, F.lit("fr"))
+        .when(i % 4 == 2, F.lit("EN-GB")).otherwise(F.lit("pt-BR")),
+        F.lit('"><body>x</body></html>'))) \
+        .otherwise(F.lit("<html><body>x</body></html>"))
+    host = F.concat(F.lit("site"), s(i % 17),
+                    F.when(i % 5 == 0, F.lit(".de"))
+                    .when(i % 5 == 1, F.lit(".fr"))
+                    .when(i % 5 == 2, F.lit(".com"))
+                    .when(i % 5 == 3, F.lit(".org"))
+                    .otherwise(F.lit(".co.uk")))
+    d = p_.select("doc_id", "text", html.alias("html"), host.alias("host"))
+    attr = F.lower(F.regexp_extract(PM.lang_col(F.col("html")),
+                                    "^([A-Za-z]+)", 1))
+    content = TA.langid_col(TA.tokens_col(F.col("text")))
+    tld = U.url_tld_col(F.col("host"))
+    f_ = d.select("doc_id", attr.alias("attr_lang"),
+                  content.alias("content_lang"), tld.alias("tld"))
+    a, c, t = F.col("attr_lang"), F.col("content_lang"), F.col("tld")
+    final = F.when(a != "", a).when(c != "und", c)
+    for k, v in _TLD_PRIOR.items():
+        final = final.when(t == k, F.lit(v))
+    return f_.select(
+        "doc_id", "attr_lang", "content_lang", "tld",
+        final.otherwise(F.lit("und")).alias("lang_final"),
+        F.when(a != "", F.lit("attr")).when(c != "und", F.lit("content"))
+        .when(t.isin(*_TLD_PRIOR), F.lit("tld")).otherwise(F.lit("none"))
+        .alias("decided_by"))
