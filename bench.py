@@ -129,6 +129,8 @@ EXTRA = [
     "web_sitemap_urls",
     "web_http_headers",
     "web_language_fusion",
+    "web_publish_date",
+    "text_script_profile",
 ]
 
 

@@ -117,3 +117,54 @@ def display_title_sql(html: str) -> str:
     h1 = f"trim(regexp_extract({html}, '{H1_RE}', 1))"
     return (f"(CASE WHEN {og} <> '' THEN {og} "
             f"WHEN {t} <> '' THEN {t} ELSE {h1} END)")
+
+
+# ---------------------------------------------------------------------------
+# Publish-date cascade (r5)
+# ---------------------------------------------------------------------------
+
+TIME_TAG_RE = r'(?i)<time[^>]*\sdatetime="([^"]*)"'
+URL_DATE_RE = r"/(20[0-9]{2})/([0-9]{2})/([0-9]{2})/"
+
+
+def time_datetime_col(html: Column) -> Column:
+    """datetime= of the first <time> element; '' when absent."""
+    return F.regexp_extract(html, TIME_TAG_RE, 1)
+
+
+def time_datetime_sql(html: str) -> str:
+    return f"regexp_extract({html}, '{TIME_TAG_RE}', 1)"
+
+
+def url_date_col(url: Column) -> Column:
+    """yyyy-mm-dd from a /YYYY/MM/DD/ path segment; '' when absent."""
+    y = F.regexp_extract(url, URL_DATE_RE, 1)
+    m = F.regexp_extract(url, URL_DATE_RE, 2)
+    d = F.regexp_extract(url, URL_DATE_RE, 3)
+    return F.when(y != "", F.concat_ws("-", y, m, d)).otherwise(F.lit(""))
+
+
+def url_date_sql(url: str) -> str:
+    y = f"regexp_extract({url}, '{URL_DATE_RE}', 1)"
+    m = f"regexp_extract({url}, '{URL_DATE_RE}', 2)"
+    d = f"regexp_extract({url}, '{URL_DATE_RE}', 3)"
+    return (f"(CASE WHEN {y} <> '' THEN {y} || '-' || {m} || '-' || {d} "
+            f"ELSE '' END)")
+
+
+def publish_date_col(html: Column, url: Column) -> Column:
+    """First 10 chars (yyyy-mm-dd) of: og article:published_time >
+    <time datetime> > URL /YYYY/MM/DD/ path; '' when all absent. The
+    trafilatura-style cascade: highest-fidelity declaration wins."""
+    og = F.substring(og_content_col(html, "article:published_time"), 1, 10)
+    tt = F.substring(time_datetime_col(html), 1, 10)
+    ud = url_date_col(url)
+    return F.when(og != "", og).when(tt != "", tt).otherwise(ud)
+
+
+def publish_date_sql(html: str, url: str) -> str:
+    og = f"substring({og_content_sql(html, 'article:published_time')}, 1, 10)"
+    tt = f"substring({time_datetime_sql(html)}, 1, 10)"
+    ud = url_date_sql(url)
+    return (f"(CASE WHEN {og} <> '' THEN {og} "
+            f"WHEN {tt} <> '' THEN {tt} ELSE {ud} END)")

@@ -264,3 +264,43 @@ def sentences_sql(text: str) -> str:
               f"'\\1{_SENT_SENTINEL}', 'g')")
     return (f"list_filter(string_split({marked}, '{_SENT_SENTINEL}'), "
             f"s -> s <> '')")
+
+
+# ---------------------------------------------------------------------------
+# Unicode-script profiling (r5)
+# ---------------------------------------------------------------------------
+
+# Same Unicode script properties, two spellings: Java needs the Is
+# prefix, RE2 takes the bare name (the one place the shared-literal rule
+# bends — pinned by the parity test and the oracle query).
+SCRIPT_ORDER = ["Latin", "Cyrillic", "Han", "Arabic", "Greek"]
+
+
+def script_count_col(text: Column, script: str) -> Column:
+    """Chars of one Unicode script (Java \\p{IsX})."""
+    return F.regexp_count(text, F.lit(rf"\p{{Is{script}}}")).cast("long")
+
+
+def script_count_sql(text: str, script: str) -> str:
+    return (f"CAST(len(regexp_extract_all({text}, '\\p{{{script}}}')) "
+            f"AS BIGINT)")
+
+
+def dominant_script_col(text: Column) -> Column:
+    """argmax over SCRIPT_ORDER char counts, ties to the earlier entry;
+    'none' when the text has no scripted chars at all."""
+    scores = {s: script_count_col(text, s) for s in SCRIPT_ORDER}
+    best = F.greatest(*scores.values())
+    out = F.lit("none")
+    for s in reversed(SCRIPT_ORDER):
+        out = F.when(scores[s] == best, F.lit(s)).otherwise(out)
+    return F.when(best > 0, out).otherwise(F.lit("none"))
+
+
+def dominant_script_sql(text: str) -> str:
+    scores = {s: script_count_sql(text, s) for s in SCRIPT_ORDER}
+    best = f"GREATEST({', '.join(scores.values())})"
+    out = "'none'"
+    for s in reversed(SCRIPT_ORDER):
+        out = f"CASE WHEN {scores[s]} = {best} THEN '{s}' ELSE {out} END"
+    return f"CASE WHEN {best} > 0 THEN {out} ELSE 'none' END"

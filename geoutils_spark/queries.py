@@ -5940,3 +5940,123 @@ def web_language_fusion(spark, sf_dir):
         F.when(a != "", F.lit("attr")).when(c != "und", F.lit("content"))
         .when(t.isin(*_TLD_PRIOR), F.lit("tld")).otherwise(F.lit("none"))
         .alias("decided_by"))
+
+
+_PUBDATE_SYNTH_SQL = """
+      SELECT doc_id,
+        CASE WHEN doc_id % 4 = 0 THEN
+          '<html><head><meta property="article:published_time" '
+          || 'content="2024-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+          || '-1' || CAST(doc_id % 10 AS VARCHAR)
+          || 'T08:30:00Z"></head><body>x</body></html>'
+        WHEN doc_id % 4 = 1 THEN
+          '<html><body><time datetime="2023-1' || CAST(doc_id % 2 AS VARCHAR)
+          || '-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+          || '">then</time></body></html>'
+        ELSE '<html><body>no dates</body></html>' END AS html,
+        CASE WHEN doc_id % 4 = 2 THEN
+          'https://h' || CAST(doc_id % 23 AS VARCHAR) || '.example/blog/202'
+          || CAST(doc_id % 10 AS VARCHAR) || '/0' || CAST(doc_id % 9 + 1
+          AS VARCHAR) || '/2' || CAST(doc_id % 10 AS VARCHAR) || '/post'
+        ELSE 'https://h' || CAST(doc_id % 23 AS VARCHAR)
+             || '.example/p' || CAST(doc_id AS VARCHAR) END AS url
+      FROM documents
+"""
+
+
+@register("web_publish_date", f"""
+    WITH p AS ({_PUBDATE_SYNTH_SQL})
+    SELECT doc_id,
+           {PM.publish_date_sql('html', 'url')} AS pub_date,
+           CASE WHEN {PM.og_content_sql('html', 'article:published_time')}
+                     <> '' THEN 'meta'
+                WHEN {PM.time_datetime_sql('html')} <> '' THEN 'time'
+                WHEN {PM.url_date_sql('url')} <> '' THEN 'url'
+                ELSE 'none' END AS date_src
+    FROM p
+    """)
+def web_publish_date(spark, sf_dir):
+    """Publish-date extraction cascade (functions/pagemeta.py, the
+    trafilatura-style recipe): og article:published_time > <time
+    datetime> > /YYYY/MM/DD/ URL path, normalized to yyyy-mm-dd, ''
+    when all absent — the freshness field recency-weighted sampling and
+    dataset cutoff filtering key on. Row-local regexp codegen, zero
+    exchanges; date_src audits the deciding layer."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i, s = F.col("doc_id"), lambda c: c.cast("string")
+    html = F.when(i % 4 == 0, F.concat(
+        F.lit('<html><head><meta property="article:published_time" '
+              'content="2024-0'), s(i % 9 + 1), F.lit("-1"), s(i % 10),
+        F.lit('T08:30:00Z"></head><body>x</body></html>'))) \
+        .when(i % 4 == 1, F.concat(
+            F.lit('<html><body><time datetime="2023-1'), s(i % 2),
+            F.lit("-0"), s(i % 9 + 1),
+            F.lit('">then</time></body></html>'))) \
+        .otherwise(F.lit("<html><body>no dates</body></html>"))
+    url = F.when(i % 4 == 2, F.concat(
+        F.lit("https://h"), s(i % 23), F.lit(".example/blog/202"),
+        s(i % 10), F.lit("/0"), s(i % 9 + 1), F.lit("/2"), s(i % 10),
+        F.lit("/post"))) \
+        .otherwise(F.concat(F.lit("https://h"), s(i % 23),
+                            F.lit(".example/p"), s(i)))
+    p_ = d.select("doc_id", html.alias("html"), url.alias("url"))
+    h, u = F.col("html"), F.col("url")
+    return p_.select(
+        "doc_id",
+        PM.publish_date_col(h, u).alias("pub_date"),
+        F.when(PM.og_content_col(h, "article:published_time") != "",
+               F.lit("meta"))
+        .when(PM.time_datetime_col(h) != "", F.lit("time"))
+        .when(PM.url_date_col(u) != "", F.lit("url"))
+        .otherwise(F.lit("none")).alias("date_src"))
+
+
+_SCRIPT_SYNTH_SQL = """
+      SELECT doc_id,
+             text || CASE doc_id % 5
+               WHEN 1 THEN ' привет мир космос'
+               WHEN 2 THEN ' 你好世界数据'
+               WHEN 3 THEN ' مرحبا بالعالم'
+               WHEN 4 THEN ' γεια σου κόσμε'
+               ELSE '' END AS text
+      FROM documents
+"""
+
+
+@register("text_script_profile", f"""
+    WITH p AS ({_SCRIPT_SYNTH_SQL})
+    SELECT doc_id,
+           {TA.script_count_sql('text', 'Latin')} AS n_latin,
+           {TA.script_count_sql('text', 'Cyrillic')} AS n_cyrillic,
+           {TA.script_count_sql('text', 'Han')} AS n_han,
+           {TA.script_count_sql('text', 'Arabic')} AS n_arabic,
+           {TA.script_count_sql('text', 'Greek')} AS n_greek,
+           {TA.dominant_script_sql('text')} AS dominant
+    FROM p
+    """)
+def text_script_profile(spark, sf_dir):
+    """Unicode-script character profile + dominant script — the
+    multilingual router's first cut (script gates which langid /
+    tokenizer family even applies; Latin-only stopword langid is blind
+    to CJK). Per-script counts via Unicode script properties — the one
+    documented shared-literal bend: Java spells \\p{{IsCyrillic}}, RE2
+    \\p{{Cyrillic}}, same property, parity-pinned. Row-local codegen,
+    zero exchanges."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    text = F.concat(F.col("text"),
+                    F.when(i % 5 == 1, F.lit(" привет мир космос"))
+                    .when(i % 5 == 2, F.lit(" 你好世界数据"))
+                    .when(i % 5 == 3, F.lit(" مرحبا بالعالم"))
+                    .when(i % 5 == 4, F.lit(" γεια σου κόσμε"))
+                    .otherwise(F.lit("")))
+    p_ = d.select("doc_id", text.alias("text"))
+    t = F.col("text")
+    return p_.select(
+        "doc_id",
+        TA.script_count_col(t, "Latin").alias("n_latin"),
+        TA.script_count_col(t, "Cyrillic").alias("n_cyrillic"),
+        TA.script_count_col(t, "Han").alias("n_han"),
+        TA.script_count_col(t, "Arabic").alias("n_arabic"),
+        TA.script_count_col(t, "Greek").alias("n_greek"),
+        TA.dominant_script_col(t).alias("dominant"))

@@ -105,3 +105,19 @@ def test_sentences_edges(spark):
         TA.sentences_col(F.col("t")).alias("got"), "want")
     for r in df.collect():
         assert r["got"] == r["want"], (r["got"], r["want"])
+
+
+def test_script_profile(spark):
+    import pyspark.sql.functions as F
+    from geoutils_spark.functions import textanalysis as TA
+    cases = [
+        ("hello мир", "Latin"),          # 5 latin > 3 cyrillic
+        ("ab мир", "Cyrillic"),
+        ("你好世界", "Han"),
+        ("123 !!!", "none"),             # no scripted chars
+        ("ab яз", "Latin"),              # tie 2-2 -> SCRIPT_ORDER
+    ]
+    df = spark.createDataFrame(cases, ["t", "want"]).select(
+        TA.dominant_script_col(F.col("t")).alias("got"), "want")
+    for r in df.collect():
+        assert r["got"] == r["want"], (r["got"], r["want"])
