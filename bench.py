@@ -131,6 +131,7 @@ EXTRA = [
     "web_language_fusion",
     "web_publish_date",
     "text_script_profile",
+    "web_crawl_hygiene",
 ]
 
 

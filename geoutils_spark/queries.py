@@ -6060,3 +6060,78 @@ def text_script_profile(spark, sf_dir):
         TA.script_count_col(t, "Arabic").alias("n_arabic"),
         TA.script_count_col(t, "Greek").alias("n_greek"),
         TA.dominant_script_col(t).alias("dominant"))
+
+
+_HYGIENE_SYNTH_SQL = """
+      SELECT doc_id,
+        '<html><head>'
+        || CASE WHEN doc_id % 5 = 0
+                THEN '<meta name="robots" content="noindex, nofollow">'
+                WHEN doc_id % 5 = 1
+                THEN '<meta name="robots" content="NOFOLLOW">'
+                ELSE '' END
+        || CASE WHEN doc_id % 7 = 0
+                THEN '<title>404 Not Found</title>'
+                WHEN doc_id % 7 = 1 THEN '<title>Page not found</title>'
+                ELSE '<title>Doc ' || CAST(doc_id AS VARCHAR)
+                     || '</title>' END
+        || '</head><body>'
+        || CASE WHEN doc_id % 11 = 0
+                THEN 'The page you requested does not exist.'
+                ELSE text END
+        || '</body></html>' AS html
+      FROM documents
+"""
+
+
+@register("web_crawl_hygiene", f"""
+    WITH p AS ({_HYGIENE_SYNTH_SQL}),
+    f AS (
+      SELECT doc_id,
+             lower({PM.meta_content_sql('html', 'robots')}) AS robots,
+             lower({PM.title_sql('html')}) AS t,
+             html
+      FROM p
+    )
+    SELECT doc_id,
+           (robots LIKE '%noindex%') AS noindex,
+           (robots LIKE '%nofollow%') AS nofollow,
+           (t LIKE '%404%' OR t LIKE '%not found%'
+            OR html LIKE '%does not exist%') AS soft404,
+           NOT ((robots LIKE '%noindex%') OR t LIKE '%404%'
+                OR t LIKE '%not found%'
+                OR html LIKE '%does not exist%') AS keep
+    FROM f
+    """)
+def web_crawl_hygiene(spark, sf_dir):
+    """Crawl-hygiene gates: the robots META tag (page-level opt-out the
+    crawler must honor — the in-page complement of the robots.txt host
+    gate) and soft-404 detection (200-status pages whose title/body say
+    404 / not found / does not exist — the error pages that pollute a
+    corpus because HTTP status lied). Row-local codegen over the scan;
+    ``keep`` is the fused corpus-prep predicate."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i, s = F.col("doc_id"), lambda c: c.cast("string")
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(i % 5 == 0,
+               F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(i % 5 == 1, F.lit('<meta name="robots" content="NOFOLLOW">'))
+        .otherwise(F.lit("")),
+        F.when(i % 7 == 0, F.lit("<title>404 Not Found</title>"))
+        .when(i % 7 == 1, F.lit("<title>Page not found</title>"))
+        .otherwise(F.concat(F.lit("<title>Doc "), s(i), F.lit("</title>"))),
+        F.lit("</head><body>"),
+        F.when(i % 11 == 0, F.lit("The page you requested does not exist."))
+        .otherwise(F.col("text")),
+        F.lit("</body></html>"))
+    p_ = d.select("doc_id", html.alias("html"))
+    robots = F.lower(PM.meta_content_col(F.col("html"), "robots"))
+    t = F.lower(PM.title_col(F.col("html")))
+    noindex = robots.contains("noindex")
+    nofollow = robots.contains("nofollow")
+    soft = (t.contains("404") | t.contains("not found")
+            | F.col("html").contains("does not exist"))
+    return p_.select(
+        "doc_id", noindex.alias("noindex"), nofollow.alias("nofollow"),
+        soft.alias("soft404"), (~(noindex | soft)).alias("keep"))
