@@ -132,6 +132,7 @@ EXTRA = [
     "web_publish_date",
     "text_script_profile",
     "web_crawl_hygiene",
+    "web_outlink_features",
 ]
 
 

@@ -6135,3 +6135,87 @@ def web_crawl_hygiene(spark, sf_dir):
     return p_.select(
         "doc_id", noindex.alias("noindex"), nofollow.alias("nofollow"),
         soft.alias("soft404"), (~(noindex | soft)).alias("keep"))
+
+
+_OUTLINK_SYNTH_SQL = """
+      SELECT doc_id,
+             'site' || CAST(doc_id % 23 AS VARCHAR) || '.example' AS host,
+             '<html><body>'
+             || '<a href="/internal' || CAST(doc_id % 5 AS VARCHAR)
+             || '">a</a>'
+             || '<a href="https://site' || CAST((doc_id * 3 + 1) % 23
+                AS VARCHAR) || '.example/x">b</a>'
+             || CASE WHEN doc_id % 3 = 0
+                THEN '<a rel="nofollow" href="https://spam'
+                     || CAST(doc_id % 7 AS VARCHAR)
+                     || '.example/z">c</a>' ELSE '' END
+             || CASE WHEN doc_id % 4 = 0
+                THEN '<a href="https://site' || CAST(doc_id % 23 AS VARCHAR)
+                     || '.example/self">d</a>' ELSE '' END
+             || '</body></html>' AS html
+      FROM documents
+"""
+
+_NOFOLLOW_RE = r'(?i)<a\s[^>]*rel="nofollow"'
+
+
+@register("web_outlink_features", f"""
+    WITH p AS ({_OUTLINK_SYNTH_SQL}),
+    l AS (
+      SELECT doc_id, host,
+             {LK.extract_hrefs_sql('html')} AS links,
+             CAST(len(regexp_extract_all(html, '{_NOFOLLOW_RE}'))
+                  AS INT) AS n_nofollow
+      FROM p
+    ),
+    r AS (
+      SELECT doc_id, host, n_nofollow, len(links) AS n_links,
+             list_transform(links,
+                            x -> {LK.resolve_host_sql('x', 'host')}) AS dsts
+      FROM l
+    )
+    SELECT doc_id, CAST(n_links AS INT) AS n_links, n_nofollow,
+           CAST(len(list_filter(dsts, d -> d = host)) AS INT) AS n_internal,
+           CAST(len(list_filter(dsts, d -> d <> '' AND d <> host))
+                AS INT) AS n_external,
+           CAST(len(list_distinct(list_filter(dsts,
+                d -> d <> '' AND d <> host))) AS INT) AS n_ext_hosts
+    FROM r
+    """)
+def web_outlink_features(spark, sf_dir):
+    """Per-page outlink features — the link-side spam/quality block
+    (SEO link farms: high external fan-out to many hosts, heavy
+    nofollow): total links, nofollow count, internal vs external split,
+    distinct external hosts. Composes links.extract_hrefs/resolve_host
+    inside row-local HOFs — no explode, no exchange; at 100 TB these are
+    free columns on the crawl scan feeding the quality classifier."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i, s = F.col("doc_id"), lambda c: c.cast("string")
+    host = F.concat(F.lit("site"), s(i % 23), F.lit(".example"))
+    html = F.concat(
+        F.lit('<html><body><a href="/internal'), s(i % 5), F.lit('">a</a>'),
+        F.lit('<a href="https://site'), s((i * 3 + 1) % 23),
+        F.lit('.example/x">b</a>'),
+        F.when(i % 3 == 0,
+               F.concat(F.lit('<a rel="nofollow" href="https://spam'),
+                        s(i % 7), F.lit('.example/z">c</a>')))
+        .otherwise(F.lit("")),
+        F.when(i % 4 == 0,
+               F.concat(F.lit('<a href="https://site'), s(i % 23),
+                        F.lit('.example/self">d</a>')))
+        .otherwise(F.lit("")),
+        F.lit("</body></html>"))
+    p_ = d.select("doc_id", host.alias("host"), html.alias("html"))
+    links = LK.extract_hrefs_col(F.col("html"))
+    dsts = F.transform(links,
+                       lambda x: LK.resolve_host_col(x, F.col("host")))
+    ext = F.filter(dsts, lambda x: (x != "") & (x != F.col("host")))
+    return p_.select(
+        "doc_id",
+        F.size(links).cast("int").alias("n_links"),
+        F.regexp_count(F.col("html"), F.lit(_NOFOLLOW_RE)).cast("int")
+        .alias("n_nofollow"),
+        F.size(F.filter(dsts, lambda x: x == F.col("host"))).cast("int")
+        .alias("n_internal"),
+        F.size(ext).cast("int").alias("n_external"),
+        F.size(F.array_distinct(ext)).cast("int").alias("n_ext_hosts"))
