@@ -133,6 +133,7 @@ EXTRA = [
     "text_script_profile",
     "web_crawl_hygiene",
     "web_outlink_features",
+    "web_redirect_resolve",
 ]
 
 

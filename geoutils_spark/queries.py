@@ -6219,3 +6219,54 @@ def web_outlink_features(spark, sf_dir):
         .alias("n_internal"),
         F.size(ext).cast("int").alias("n_external"),
         F.size(F.array_distinct(ext)).cast("int").alias("n_ext_hosts"))
+
+
+_REDIRECT_EDGES_SQL = """
+      SELECT 'u' || CAST(doc_id AS VARCHAR) AS src,
+             'u' || CAST(doc_id + 1 AS VARCHAR) AS dst
+      FROM documents WHERE doc_id % 4 < 3
+      UNION ALL
+      SELECT 'u' || CAST(doc_id AS VARCHAR),
+             'u' || CAST(doc_id - 1 AS VARCHAR)
+      FROM documents WHERE doc_id % 40 = 3
+"""
+
+
+@register("web_redirect_resolve", f"""
+    WITH e AS ({_REDIRECT_EDGES_SQL}),
+    m0 AS (SELECT src AS u, dst AS f, CAST(1 AS BIGINT) AS hops FROM e),
+    m1 AS (
+      SELECT a.u, COALESCE(b.f, a.f) AS f,
+             a.hops + COALESCE(b.hops, 0) AS hops
+      FROM m0 a LEFT JOIN m0 b ON a.f = b.u
+    ),
+    m2 AS (
+      SELECT a.u, COALESCE(b.f, a.f) AS f,
+             a.hops + COALESCE(b.hops, 0) AS hops
+      FROM m1 a LEFT JOIN m1 b ON a.f = b.u
+    ),
+    s AS (SELECT DISTINCT src AS u2 FROM e)
+    SELECT m2.u AS src, m2.f AS final, m2.hops,
+           (s.u2 IS NOT NULL) AS unresolved
+    FROM m2 LEFT JOIN s ON m2.f = s.u2
+    """)
+def web_redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution (operators/redirects.py): 3xx Location
+    edges followed to their terminal URL by pointer DOUBLING — r rounds
+    cover 2^r hops in r redirect-bounded exchanges (the closure-loop
+    discipline), with redirect LOOPS flagged unresolved instead of
+    iterating forever. The oracle unrolls the SAME two doubling rounds
+    as chained CTEs, so the whole resolution trajectory (finals + hop
+    sums, including in-cycle hop arithmetic) is checked, not just the
+    fixed point. Fixture: chains of 3 per 4-doc group plus a planted
+    2-cycle every 10th group."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i, s = F.col("doc_id"), lambda c: c.cast("string")
+    fwd = d.filter(i % 4 < 3).select(
+        F.concat(F.lit("u"), s(i)).alias("src"),
+        F.concat(F.lit("u"), s(i + 1)).alias("dst"))
+    loop = d.filter(i % 40 == 3).select(
+        F.concat(F.lit("u"), s(i)).alias("src"),
+        F.concat(F.lit("u"), s(i - 1)).alias("dst"))
+    from geoutils_spark.operators.redirects import resolve_redirects
+    return resolve_redirects(fwd.unionAll(loop), rounds=2)

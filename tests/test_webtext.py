@@ -289,3 +289,32 @@ def test_http_header_parsing(spark):
         HH.status_col(F.col("h")).alias("st"),
         HH.content_type_col(F.col("h")).alias("ct")).collect()[0]
     assert r2["st"] is None and r2["ct"] == ""
+
+
+def test_resolve_redirects(spark):
+    from geoutils_spark.operators.redirects import resolve_redirects
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"),      # 3-chain -> terminal d
+         ("x", "y"), ("y", "x")],                 # 2-cycle
+        ["src", "dst"])
+    out = {r["src"]: r for r in
+           resolve_redirects(edges, rounds=2).collect()}
+    assert out["a"]["final"] == "d" and out["a"]["hops"] == 3
+    assert not out["a"]["unresolved"]
+    assert out["b"]["final"] == "d" and out["b"]["hops"] == 2
+    assert out["c"]["final"] == "d" and out["c"]["hops"] == 1
+    assert out["x"]["unresolved"] and out["y"]["unresolved"]
+    assert out["x"]["final"] in ("x", "y")        # stuck inside the cycle
+
+
+def test_resolve_redirects_horizon(spark):
+    from geoutils_spark.operators.redirects import resolve_redirects
+    # 5-chain exceeds the 2^2=4-hop horizon at rounds=2 -> unresolved,
+    # resolves cleanly at rounds=3
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(5)], ["src", "dst"])
+    r2 = {r["src"]: r for r in resolve_redirects(edges, rounds=2).collect()}
+    assert r2["n0"]["unresolved"] and r2["n0"]["hops"] == 4
+    r3 = {r["src"]: r for r in resolve_redirects(edges, rounds=3).collect()}
+    assert r3["n0"]["final"] == "n5" and r3["n0"]["hops"] == 5
+    assert not r3["n0"]["unresolved"]
