@@ -134,6 +134,7 @@ EXTRA = [
     "web_crawl_hygiene",
     "web_outlink_features",
     "web_redirect_resolve",
+    "geo_ring_perimeter",
 ]
 
 

@@ -6270,3 +6270,44 @@ def web_redirect_resolve(spark, sf_dir):
         F.concat(F.lit("u"), s(i - 1)).alias("dst"))
     from geoutils_spark.operators.redirects import resolve_redirects
     return resolve_redirects(fwd.unionAll(loop), rounds=2)
+
+
+@register("geo_ring_perimeter", f"""
+    WITH grid AS ({_grid_sql()}),
+    rings AS (
+      SELECT way_id,
+             [minx, maxx, maxx, minx] AS xs,
+             [miny, miny, maxy, maxy] AS ys
+      FROM grid
+    )
+    SELECT way_id,
+           ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, len(xs) + 1), i ->
+               {haversine_m_sql('xs[i]', 'ys[i]',
+                                    'xs[(i % len(xs)) + 1]',
+                                    'ys[(i % len(xs)) + 1]')})),
+             (acc, t) -> acc + t), 6) AS perimeter_m
+    FROM rings
+    """)
+def geo_ring_perimeter(spark, sf_dir):
+    """Geodesic ring perimeter (ST_Perimeter/ST_Length) — haversine edge
+    lengths summed as an explicit VERTEX-ORDERED left fold in both
+    dialects (the chain-sum discipline, same shape as
+    geo_spherical_area), closing edge included. Row-local trig, zero
+    exchanges; at 100 TB a free projection on the geometry scan."""
+    polys = fixtures.polygons_df(spark).filter(F.col("kind") == "building")
+    xs = F.transform(F.sequence(F.lit(0), F.lit(3)), lambda i: F.element_at(
+        F.col("ring"), (i + 1).cast("int"))["lon"])
+    ys = F.transform(F.sequence(F.lit(0), F.lit(3)), lambda i: F.element_at(
+        F.col("ring"), (i + 1).cast("int"))["lat"])
+    d = polys.select("way_id", xs.alias("xs"), ys.alias("ys"))
+    n = F.size(F.col("xs"))
+    edges = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: haversine_m_col(
+            F.element_at(F.col("xs"), i.cast("int")),
+            F.element_at(F.col("ys"), i.cast("int")),
+            F.element_at(F.col("xs"), ((i % n) + 1).cast("int")),
+            F.element_at(F.col("ys"), ((i % n) + 1).cast("int"))))
+    per = F.aggregate(edges, F.lit(0.0), lambda a, b: a + b)
+    return d.select("way_id", F.round(per, 6).alias("perimeter_m"))
