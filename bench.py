@@ -135,6 +135,7 @@ EXTRA = [
     "web_outlink_features",
     "web_redirect_resolve",
     "geo_ring_perimeter",
+    "text_heavy_hitters",
 ]
 
 

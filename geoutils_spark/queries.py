@@ -6311,3 +6311,29 @@ def geo_ring_perimeter(spark, sf_dir):
             F.element_at(F.col("ys"), ((i % n) + 1).cast("int"))))
     per = F.aggregate(edges, F.lit(0.0), lambda a, b: a + b)
     return d.select("way_id", F.round(per, 6).alias("perimeter_m"))
+
+
+@register("text_heavy_hitters", f"""
+    WITH t AS (
+      SELECT UNNEST({TA.tokens_sql('text')}) AS term FROM documents
+    ),
+    nz AS (SELECT term FROM t WHERE term <> ''),
+    n AS (SELECT COUNT(*) AS total FROM nz)
+    SELECT term, COUNT(*) AS n
+    FROM nz, n GROUP BY term, total
+    HAVING COUNT(*) * 200 >= 1 * total
+    """)
+def text_heavy_hitters(spark, sf_dir):
+    """Deterministic heavy hitters (operators/heavyhitters.py):
+    Misra-Gries candidates per partition (bounded state, pigeonhole-
+    complete — no vocab-wide shuffle even at URL-scale cardinality) +
+    an exact candidate-bounded verification pass; threshold eps=1/200
+    applied as integer math. The oracle is the PLAIN exact GROUP BY
+    HAVING — the two must agree exactly BECAUSE the MG candidate set
+    provably contains every eps-heavy item; hash-equality here checks
+    the completeness guarantee itself."""
+    from geoutils_spark.operators.heavyhitters import heavy_hitters
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(TA.tokens_col(F.col("text"))).alias("term")) \
+        .filter(F.col("term") != "")
+    return heavy_hitters(toks, "term", 1, 200)

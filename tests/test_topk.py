@@ -91,3 +91,43 @@ def test_param_guards(spark):
         TK.topk_per_group(df, ["g"], ORDER(), 0, F.col("id"))
     with pytest.raises(ValueError):
         TK.topk_per_group(df, ["g"], ORDER(), 3, F.col("id"), n_salt=0)
+
+
+# -------------------------------------------------------------- Misra-Gries
+
+def test_heavy_hitters_exactness_and_boundary(spark):
+    import pyspark.sql.functions as F
+    from geoutils_spark.operators.heavyhitters import heavy_hitters
+    # 1000 rows over 8 partitions: 'hot' x 300, 'warm' x 100 (exactly
+    # eps=1/10 boundary: 100*10 >= 1*1000 -> kept), 'cool' x 99 (dropped),
+    # filler unique singletons
+    rows = (["hot"] * 300 + ["warm"] * 100 + ["cool"] * 99
+            + [f"u{i}" for i in range(501)])
+    df = spark.createDataFrame([(x,) for x in rows], ["term"]) \
+        .repartition(8)
+    out = {r["term"]: r["n"]
+           for r in heavy_hitters(df, "term", 1, 10).collect()}
+    assert out == {"hot": 300, "warm": 100}
+
+
+def test_heavy_hitters_skewed_across_partitions(spark):
+    import pyspark.sql.functions as F
+    from geoutils_spark.operators.heavyhitters import heavy_hitters
+    # heavy item spread thin across every partition (the case a naive
+    # per-partition top-k misses), eps=1/50 over 5000 rows -> need 100
+    n = 5000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 40 == 0, F.lit("spread"))   # 125 >= 100
+        .otherwise(F.concat(F.lit("u"), F.col("id").cast("string")))
+        .alias("term")).repartition(16)
+    out = {r["term"]: r["n"]
+           for r in heavy_hitters(df, "term", 1, 50).collect()}
+    assert out == {"spread": 125}
+
+
+def test_heavy_hitters_validates_eps(spark):
+    from geoutils_spark.operators.heavyhitters import heavy_hitters
+    import pytest as _pt
+    df = spark.createDataFrame([("a",)], ["term"])
+    with _pt.raises(ValueError):
+        heavy_hitters(df, "term", 1, 1)
