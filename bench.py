@@ -136,6 +136,9 @@ EXTRA = [
     "web_redirect_resolve",
     "geo_ring_perimeter",
     "text_heavy_hitters",
+    "geo_destination_point",
+    "geo_cell_kring",
+    "text_winnow_fingerprints",
 ]
 
 

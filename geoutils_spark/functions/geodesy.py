@@ -54,6 +54,50 @@ def bearing_deg_col(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> C
     return F.pmod(F.degrees(F.atan2(y, x)), F.lit(360.0))
 
 
+def destination_col(lon: Column, lat: Column, bearing_deg: Column,
+                    dist_m: Column) -> tuple[Column, Column]:
+    """Spherical direct geodesic (the inverse of F6/F7's distance+bearing,
+    reference eigenconversion.cpp:133-160): the point reached from
+    (lon, lat) after travelling ``dist_m`` metres along the great circle
+    with initial bearing ``bearing_deg``. Standard formulas (Sinnott /
+    aviation formulary):
+
+        phi2 = asin(sin phi1 cos d + cos phi1 sin d cos theta)
+        lam2 = lam1 + atan2(sin theta sin d cos phi1,
+                            cos d - sin phi1 sin phi2)
+
+    with d = dist/R. Pure Catalyst trig (codegen, zero exchanges);
+    ``destination_sql`` is the textual twin, subexpression-for-
+    subexpression, so both engines produce identical IEEE bits.
+    Returns (lon2, lat2) in degrees, lon2 normalized to [-180, 180)."""
+    d = dist_m / F.lit(float(EARTH_RADIUS_M))
+    th = F.radians(bearing_deg)
+    phi1, lam1 = F.radians(lat), F.radians(lon)
+    s2 = F.sin(phi1) * F.cos(d) + F.cos(phi1) * F.sin(d) * F.cos(th)
+    lat2 = F.degrees(F.asin(s2))
+    lon2 = F.degrees(
+        lam1 + F.atan2(F.sin(th) * F.sin(d) * F.cos(phi1),
+                       F.cos(d) - F.sin(phi1) * s2))
+    lon2 = F.pmod(lon2 + F.lit(180.0), F.lit(360.0)) - F.lit(180.0)
+    return lon2, lat2
+
+
+def destination_sql(lon: str, lat: str, bearing_deg: str,
+                    dist_m: str) -> tuple[str, str]:
+    """DuckDB twin of destination_col — identical expression structure
+    (sin phi2 inlined textually where the Column tree reuses the node)."""
+    d = f"({dist_m} / CAST({float(EARTH_RADIUS_M)!r} AS DOUBLE))"
+    th = f"RADIANS({bearing_deg})"
+    phi1, lam1 = f"RADIANS({lat})", f"RADIANS({lon})"
+    s2 = (f"(SIN({phi1}) * COS({d})"
+          f" + COS({phi1}) * SIN({d}) * COS({th}))")
+    lat2 = f"DEGREES(ASIN({s2}))"
+    lon2 = (f"DEGREES({lam1} + ATAN2(SIN({th}) * SIN({d}) * COS({phi1}), "
+            f"COS({d}) - SIN({phi1}) * {s2}))")
+    lon2 = f"((((({lon2} + 180.0) % 360.0) + 360.0) % 360.0) - 180.0)"
+    return lon2, lat2
+
+
 def mercator_xy_col(lon: Column, lat: Column, ref_x: Column | None = None,
                     ref_y: Column | None = None) -> tuple[Column, Column]:
     """Web-Mercator meters, optionally refpoint-relative (reference F1,

@@ -240,6 +240,63 @@ def fingerprint_sql(text: str, k_shingle: int = 3, bottom_k: int = 8) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — MOSS)
+# ---------------------------------------------------------------------------
+
+# key layout: 44-bit gram hash << 16 | (n_grams - pos). Minimizing the key
+# over a window picks the minimum hash with RIGHTMOUST-position tie-break
+# (larger pos => smaller low bits) — the paper's robust-winnowing rule —
+# in ONE integer array_min, no struct folds. Bounds: docs up to 65,535
+# grams per row (a 64 KiB page; chunk longer docs upstream).
+WINNOW_POS_BITS = 16
+_WINNOW_POS_MASK = (1 << WINNOW_POS_BITS) - 1
+
+
+def winnow_keys_col(text: Column, k: int = 5, w: int = 8) -> Column:
+    """DISTINCT winnowing selection keys for char-``k``-gram hashes under
+    window ``w`` (guarantee: any shared substring of length >= w + k - 1
+    shares at least one selected fingerprint). Row-local: grams, hashes,
+    window minima and dedup all stay inside one Catalyst projection —
+    zero exchanges until the caller aggregates. Decode with
+    ``pos = n_grams - (key & 65535)``, ``fp = key >> 16``.
+
+    Shape note: the window min is computed as a nested transform that
+    re-hashes each gram per covering window — O(n*w) md5 calls. The
+    two-step form (keys array column, then mins over slices) LOOKS
+    cheaper but is O(n^2): CollapseProject inlines a once-referenced
+    array alias into the interpreted HOF lambda, re-evaluating all n
+    hashes per window (the word_shingles_col perf-note trap). With w=8
+    the explicit n*w form is strictly better and scale-linear."""
+    n = F.length(text) - F.lit(k - 1)
+
+    def key(j):
+        return F.conv(
+            F.substring(F.md5(text.substr(j, F.lit(k)).cast("binary")), 1, 11),
+            16, 10).cast("long") * F.lit(1 << WINNOW_POS_BITS) \
+            + (n - j).cast("long")
+
+    sel = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), n - F.lit(w - 1)),
+        lambda i: F.array_min(F.transform(
+            F.sequence(i, i + F.lit(w - 1)), key)),
+    ))
+    return F.when(n >= w, sel).otherwise(F.array().cast("array<bigint>"))
+
+
+def winnow_keys_sql(text: str, k: int = 5, w: int = 8) -> str:
+    """DuckDB twin — same md5-prefix hash, same key encoding, same
+    nested window-min selection (all-integer outputs, so the value is
+    engine-order independent)."""
+    n = f"(LENGTH({text}) - {k - 1})"
+    key = (f"CAST('0x' || SUBSTR(md5(SUBSTR({text}, j, {k})), 1, 11) AS BIGINT)"
+           f" * {1 << WINNOW_POS_BITS} + CAST({n} - j AS BIGINT)")
+    sel = (f"list_distinct(list_transform(range(1, {n} - {w - 2}), "
+           f"i -> list_min(list_transform(range(i, i + {w}), j -> {key}))))")
+    return (f"CASE WHEN {n} >= {w} THEN {sel} "
+            f"ELSE CAST([] AS BIGINT[]) END")
+
+
+# ---------------------------------------------------------------------------
 # Sentence segmentation (r5)
 # ---------------------------------------------------------------------------
 

@@ -6337,3 +6337,126 @@ def text_heavy_hitters(spark, sf_dir):
     toks = d.select(F.explode(TA.tokens_col(F.col("text"))).alias("term")) \
         .filter(F.col("term") != "")
     return heavy_hitters(toks, "term", 1, 200)
+
+
+
+# ---------------------------------------------------------------------------
+# r5 finals: direct geodesic, cell k-ring, winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+from geoutils_spark.functions.geodesy import destination_sql  # noqa: E402
+
+_DEST_BRG = "CAST((doc_id * 7) % 360 AS DOUBLE)"
+_DEST_DIST = "CAST(500 + doc_id % 5000 AS DOUBLE)"
+_DEST_LON, _DEST_LAT = destination_sql(_DLON, _DLAT, _DEST_BRG, _DEST_DIST)
+
+
+@register("geo_destination_point", f"""
+    SELECT doc_id,
+           ROUND({_DEST_LON}, 6) AS dest_lon,
+           ROUND({_DEST_LAT}, 6) AS dest_lat
+    FROM documents
+    """)
+def geo_destination_point(spark, sf_dir):
+    """Spherical direct geodesic (destination point from bearing +
+    distance — the inverse of F6/F7's haversine/bearing pair, reference
+    eigenconversion.cpp:133-160): pure Catalyst trig, zero exchanges, a
+    free projection on the point scan at any scale. Bearing/distance
+    derive from doc_id by integer arithmetic so both dialects compute on
+    identical inputs; the SQL twin mirrors the Column tree subexpression-
+    for-subexpression (sin phi2 inlined where the tree reuses the node),
+    so unrounded doubles already agree bit-for-bit."""
+    from geoutils_spark.functions.geodesy import destination_col
+    pts = _documents_points(spark, sf_dir)
+    brg = ((F.col("doc_id") * 7) % 360).cast("double")
+    dist = (F.lit(500) + F.col("doc_id") % 5000).cast("double")
+    lon2, lat2 = destination_col(F.col("lon"), F.col("lat"), brg, dist)
+    return pts.select(
+        "doc_id",
+        F.round(lon2, 6).alias("dest_lon"),
+        F.round(lat2, 6).alias("dest_lat"))
+
+
+_KR_N = 1 << 12  # level-12 tile grid width
+
+
+def _kring_case_sql(dx: int, dy: int) -> str:
+    wrapped = f"(((tx + {dx}) % {_KR_N} + {_KR_N}) % {_KR_N})"
+    cell = C.cell_from_tile_sql(wrapped, f"(ty + {dy})", 12)
+    return (f"CASE WHEN ty + {dy} BETWEEN 0 AND {_KR_N - 1} "
+            f"THEN {cell} ELSE NULL END")
+
+
+_KR_CASES = ", ".join(_kring_case_sql(dx, dy)
+                      for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+
+
+@register("geo_cell_kring", f"""
+    WITH pts AS (
+      SELECT doc_id,
+             {C.tile_x_sql(_DLON, 12)} AS tx,
+             {C.tile_y_sql(_DLAT, 12)} AS ty
+      FROM documents
+    ),
+    nb AS (
+      SELECT doc_id, {C.cell_from_tile_sql('tx', 'ty', 12)} AS cell_id,
+             list_filter([{_KR_CASES}], x -> x IS NOT NULL) AS nbs
+      FROM pts
+    )
+    SELECT doc_id, cell_id,
+           array_to_string(list_transform(list_sort(nbs),
+                                          x -> CAST(x AS VARCHAR)), ',')
+             AS neighbors,
+           CAST(len(nbs) AS BIGINT) AS n_neighbors
+    FROM nb
+    """)
+def geo_cell_kring(spark, sf_dir):
+    """Cell k-ring / disk (H3 kRing analog on the Morton grid; the kNN
+    candidate generator exposed as a first-class query): the 3x3
+    neighborhood of each point's level-12 cell, antimeridian x-wrap,
+    poles y-clamped (functions/cells.py neighbor_cells_col). Row-local
+    bit math, zero exchanges. The oracle re-derives every neighbor with
+    the tile-offset bit-math twins (cell_from_tile_sql), including the
+    wrap/clamp edge rules. Sorted, comma-joined ids (the array-output
+    hashing rule)."""
+    pts = _documents_points(spark, sf_dir)
+    d = C.with_cell(pts, "lon", "lat", 12, "cell_id")
+    nbs = C.neighbor_cells_col(F.col("cell_id"), 12, ring=1)
+    return d.select(
+        "doc_id", "cell_id",
+        F.array_join(F.transform(F.sort_array(nbs),
+                                 lambda x: x.cast("string")), ",")
+         .alias("neighbors"),
+        F.size(nbs).cast("long").alias("n_neighbors"))
+
+
+@register("text_winnow_fingerprints", f"""
+    WITH w AS (
+      SELECT doc_id, CAST(LENGTH(text) - 4 AS BIGINT) AS n_grams,
+             UNNEST({TA.winnow_keys_sql('text', 5, 8)}) AS wkey
+      FROM documents
+    )
+    SELECT doc_id, wkey >> 16 AS fp, n_grams - (wkey & 65535) AS pos
+    FROM w
+    """)
+def text_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS scheme): rightmost-min-of-window selection
+    over char-5-gram hashes, window 8, guaranteeing any shared substring
+    of >= 12 chars shares a fingerprint. Complements the bottom-k sketch
+    (text_fingerprint) with POSITIONED fingerprints — the primitive for
+    plagiarism-style local-overlap detection at corpus scale. Entirely
+    row-local (functions/textanalysis.py winnow_keys_col: one Catalyst
+    projection, zero exchanges until a consumer groups by fp); a
+    downstream reuse-detector joins on fp exactly like
+    dedup_shingle_coverage's dup-grams-only discipline."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    n = (F.length("text") - F.lit(4)).cast("long")
+    ex = d.select(
+        "doc_id", n.alias("n_grams"),
+        F.explode(TA.winnow_keys_col(F.col("text"), 5, 8)).alias("wkey"))
+    return ex.select(
+        "doc_id",
+        F.shiftright(F.col("wkey"), 16).alias("fp"),
+        (F.col("n_grams") - F.col("wkey").bitwiseAND(F.lit(65535)))
+        .alias("pos"))

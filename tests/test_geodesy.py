@@ -99,3 +99,35 @@ def test_spherical_area_rectangle_analytic(spark):
     assert abs(got[2] + exact) / exact < 1e-12   # CW = negative
     # sanity scale: ~4.17 km x ~3.34 km patch ~ 1.39e7 m^2
     assert 1e7 < got[1] < 2e7
+
+
+def test_destination_roundtrip(spark):
+    """dest(p, bearing(p->q), haversine(p, q)) == q (direct inverts
+    the inverse problem); poles/antimeridian normalization checked via
+    an eastbound hop across lon=180."""
+    from pyspark.sql import functions as F
+
+    from geoutils_spark.functions.geodesy import (
+        bearing_deg_col, destination_col, haversine_m_col)
+
+    df = spark.createDataFrame(
+        [(1, -0.1, 51.5, 2.35, 48.85),      # London -> Paris
+         (2, 179.95, 10.0, -179.9, 10.2),   # across the antimeridian
+         (3, 18.0, 59.3, 18.1, 59.31)],     # short hop
+        "i long, lon1 double, lat1 double, lon2 double, lat2 double")
+    brg = bearing_deg_col(F.col("lon1"), F.col("lat1"),
+                          F.col("lon2"), F.col("lat2"))
+    dist = haversine_m_col(F.col("lon1"), F.col("lat1"),
+                           F.col("lon2"), F.col("lat2"))
+    dlon, dlat = destination_col(F.col("lon1"), F.col("lat1"), brg, dist)
+    rows = df.select("lon2", "lat2", dlon.alias("glon"),
+                     dlat.alias("glat")).collect()
+    for r in rows:
+        assert abs(r["glat"] - r["lat2"]) < 1e-9
+        assert abs(r["glon"] - r["lon2"]) < 1e-9
+    # normalization: destination lon always lands in [-180, 180)
+    far = spark.createDataFrame([(179.99, 0.0)], "lon double, lat double")
+    glon, _ = destination_col(F.col("lon"), F.col("lat"),
+                              F.lit(90.0), F.lit(50000.0))
+    v = far.select(glon.alias("g")).collect()[0]["g"]
+    assert -180.0 <= v < 180.0 and v < -179.5  # wrapped across the seam

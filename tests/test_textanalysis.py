@@ -121,3 +121,45 @@ def test_script_profile(spark):
         TA.dominant_script_col(F.col("t")).alias("got"), "want")
     for r in df.collect():
         assert r["got"] == r["want"], (r["got"], r["want"])
+
+
+def test_winnow_guarantee_and_bounds(spark):
+    """Winnowing invariants (Schleimer et al. 2003): (a) two documents
+    sharing a substring of length >= w + k - 1 share >= 1 fingerprint;
+    (b) selection density is bounded (roughly 2/(w+1)); (c) docs shorter
+    than the first window emit nothing; (d) decoded positions are valid
+    gram indexes."""
+    from pyspark.sql import functions as F
+
+    from geoutils_spark.functions.textanalysis import winnow_keys_col
+
+    k, w = 5, 8
+    shared = "the quick brown fox jumps over it"   # 33 chars > w + k - 1
+    a = "AAAA " + shared + " padding tail one two three"
+    b = "completely different head text | " + shared + " | zzz"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, "tiny")],
+        "doc_id long, text string")
+    ex = df.select(
+        "doc_id",
+        (F.length("text") - F.lit(k - 1)).cast("long").alias("n"),
+        F.explode(winnow_keys_col(F.col("text"), k, w)).alias("key"))
+    rows = ex.select(
+        "doc_id", "n",
+        F.shiftright("key", 16).alias("fp"),
+        (F.col("n") - F.col("key").bitwiseAND(F.lit(65535))).alias("pos"),
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc                       # too short: no windows
+    fps1 = {r["fp"] for r in by_doc[1]}
+    fps2 = {r["fp"] for r in by_doc[2]}
+    assert fps1 & fps2                           # guarantee (a)
+    for d in (1, 2):
+        n = by_doc[d][0]["n"]
+        n_windows = n - w + 1
+        assert len(by_doc[d]) <= n_windows       # can't select more than 1/window
+        assert len(by_doc[d]) >= n_windows // w  # at least one per w windows
+        for r in by_doc[d]:
+            assert 1 <= r["pos"] <= n            # valid gram index
