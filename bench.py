@@ -139,6 +139,8 @@ EXTRA = [
     "geo_destination_point",
     "geo_cell_kring",
     "text_winnow_fingerprints",
+    "text_pmi_pairs",
+    "rel_grouping_sets",
 ]
 
 

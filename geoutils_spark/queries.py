@@ -6460,3 +6460,115 @@ def text_winnow_fingerprints(spark, sf_dir):
         F.shiftright(F.col("wkey"), 16).alias("fp"),
         (F.col("n_grams") - F.col("wkey").bitwiseAND(F.lit(65535)))
         .alias("pos"))
+
+
+_PMI_D = 3  # co-occurrence window (token distance 1..D)
+_PMI_ZIPS = ", ".join(
+    f"list_zip(toks, list_slice(toks, {d + 1}, 1000000000))"
+    for d in range(1, _PMI_D + 1))
+
+
+@register("text_pmi_pairs", f"""
+    WITH tk AS (
+      SELECT {TA.tokens_sql('text')} AS toks FROM documents
+    ),
+    pr0 AS (
+      SELECT UNNEST(list_concat(list_concat({_PMI_ZIPS.split(', list_zip')[0]},
+             list_zip{_PMI_ZIPS.split(', list_zip')[1]}),
+             list_zip{_PMI_ZIPS.split(', list_zip')[2]})) AS u
+      FROM tk
+    ),
+    pr AS (
+      SELECT LEAST(u[1], u[2]) AS a, GREATEST(u[1], u[2]) AS b
+      FROM pr0 WHERE u[2] IS NOT NULL AND u[1] <> '' AND u[2] <> ''
+    ),
+    uni AS (
+      SELECT t AS term, COUNT(*) AS c
+      FROM (SELECT UNNEST(toks) AS t FROM tk) WHERE t <> '' GROUP BY t
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+    ptot AS (SELECT COUNT(*) AS p FROM pr),
+    cab AS (SELECT a, b, COUNT(*) AS cab FROM pr GROUP BY a, b),
+    ranked AS (
+      SELECT a, b, cab,
+             ROW_NUMBER() OVER (ORDER BY cab DESC, a, b) AS rank
+      FROM cab
+    )
+    SELECT x.a, x.b, x.cab,
+           ROUND(LN((CAST(x.cab AS DOUBLE) / p)
+                    / ((CAST(ca.c AS DOUBLE) / n)
+                       * (CAST(cb.c AS DOUBLE) / n))), 6) AS pmi,
+           rank
+    FROM ranked x
+    JOIN uni ca ON x.a = ca.term
+    JOIN uni cb ON x.b = cb.term, tot, ptot
+    WHERE rank <= 25
+    """)
+def text_pmi_pairs(spark, sf_dir):
+    """Pointwise mutual information over co-occurring token pairs within
+    distance 3 (the word2vec-era collocation statistic; corpus-level
+    phrase mining for tokenizer/vocab decisions). Scale shape: pair
+    expansion is ROW-LOCAL — one arrays_zip per distance against a
+    shifted slice of the same token array (2 tokenizations per distance,
+    NOT the O(n*d) element_at inline), then a single explode; the only
+    corpus-keyed exchange is the (a,b) pair count (map-side combining).
+    Unigram counts and scalar totals are POST-AGG vocab-/1-row-bounded
+    tables joined back with explicit broadcasts, so the pair table never
+    re-shuffles; top-25 window runs on the aggregated (bounded) table
+    only. PMI doubles: identical division-tree structure both dialects,
+    round-6."""
+    d = _t(spark, sf_dir, "documents").select("text")
+    toks = TA.tokens_col(F.col("text"))
+    z = F.concat(*[
+        F.arrays_zip(toks, F.slice(toks, delta + 1, 1 << 30))
+        for delta in range(1, _PMI_D + 1)])
+    u = F.col("u")
+    pr = (d.select(F.explode(z).alias("u"))
+          .filter(u.getItem("1").isNotNull()
+                  & (u.getItem("0") != "") & (u.getItem("1") != ""))
+          .select(F.least(u.getItem("0"), u.getItem("1")).alias("a"),
+                  F.greatest(u.getItem("0"), u.getItem("1")).alias("b")))
+    uni = (d.select(F.explode(toks).alias("term"))
+           .filter(F.col("term") != "")
+           .groupBy("term").agg(F.count("*").alias("c")))
+    tot = uni.agg(F.sum("c").cast("long").alias("n"))
+    ptot = pr.agg(F.count("*").alias("p"))
+    cab = pr.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    w = Window.orderBy(F.col("cab").desc(), F.col("a").asc(),
+                       F.col("b").asc())
+    ranked = (cab.withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= 25))
+    ca = uni.select(F.col("term").alias("a"), F.col("c").alias("ca"))
+    cb = uni.select(F.col("term").alias("b"), F.col("c").alias("cb"))
+    j = (ranked.join(F.broadcast(ca), "a").join(F.broadcast(cb), "b")
+         .crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(ptot)))
+    pmi = F.log((F.col("cab").cast("double") / F.col("p"))
+                / ((F.col("ca").cast("double") / F.col("n"))
+                   * (F.col("cb").cast("double") / F.col("n"))))
+    return j.select("a", "b", "cab", F.round(pmi, 6).alias("pmi"),
+                    F.col("rank").cast("long").alias("rank"))
+
+
+_GSETS_SQL = f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+           CAST(SUM(CAST(l_quantity AS {_D})) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus), ())
+    """
+
+
+@register("rel_grouping_sets", _GSETS_SQL)
+def rel_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form of the cube/rollup pair
+    already covered — reference A8's grouping granularities): four
+    simultaneous granularities in ONE hash-agg pass (Spark expands sets
+    map-side, so the scan runs once, partial aggregation intact), with
+    GROUPING() flags disambiguating set-produced NULLs. The SAME SQL
+    text runs on both engines — the dialect-portability check for the
+    relational tier. DECIMAL sums for order-independence."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GSETS_SQL)

@@ -163,3 +163,41 @@ def test_winnow_guarantee_and_bounds(spark):
         assert len(by_doc[d]) >= n_windows // w  # at least one per w windows
         for r in by_doc[d]:
             assert 1 <= r["pos"] <= n            # valid gram index
+
+
+def test_pmi_pair_expansion_window(spark):
+    """Pair expansion must produce exactly the unordered token pairs at
+    distance 1..3 (zip-against-shifted-slice trick), and PMI must match
+    the hand formula on a tiny corpus."""
+    import math
+
+    from geoutils_spark.queries import SPARK_QUERIES
+    import tempfile, os
+    tmp = tempfile.mkdtemp()
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b a b x")],
+        "doc_id long, text string")
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    out = {(r["a"], r["b"]): (r["cab"], r["pmi"])
+           for r in SPARK_QUERIES["text_pmi_pairs"](spark, tmp).collect()}
+    # doc1 distance<=3 pairs: ab ac ad bc bd be cd ce de; doc2: ab aa ab
+    # ba bb ab bx ax ... enumerate by hand:
+    def pairs(toks, d=3):
+        out = []
+        for i in range(len(toks)):
+            for j in range(i + 1, min(i + d, len(toks) - 1) + 1):
+                out.append(tuple(sorted((toks[i], toks[j]))))
+        return out
+    all_pairs = pairs("a b c d e".split()) + pairs("a b a b x".split())
+    from collections import Counter
+    cnt = Counter(all_pairs)
+    toks = "a b c d e".split() + "a b a b x".split()
+    uni = Counter(toks)
+    N, P = len(toks), len(all_pairs)
+    top = cnt.most_common()
+    for (a, b), cab in top:
+        want = math.log((cab / P) / ((uni[a] / N) * (uni[b] / N)))
+        got_cab, got_pmi = out[(a, b)]
+        assert got_cab == cab, (a, b, got_cab, cab)
+        assert abs(got_pmi - round(want, 6)) < 2e-6, (a, b, got_pmi, want)
+    assert len(out) == len(cnt) if len(cnt) <= 25 else 25
