@@ -141,6 +141,7 @@ EXTRA = [
     "text_winnow_fingerprints",
     "text_pmi_pairs",
     "rel_grouping_sets",
+    "emb_pq_codes",
 ]
 
 

@@ -273,3 +273,77 @@ def train_centroids(vectors: DataFrame, k: int, iters: int = 3,
                     (cid, [float(r[f"s{i}"]) / r["n"] for i in range(dim)]))
         cents = new_cents
     return cents
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou/Douze/Schmid, TPAMI 2011): the storage-side
+# scale path for embedding tables — m subspace codes of log2(K) bits replace
+# 4*dim bytes per vector (64-dim float -> 8 bytes at m=8, K<=256), and ADC
+# distance scans read code tables instead of raw vectors.
+# ---------------------------------------------------------------------------
+
+def _l2_sub_col(vec: Column, sub: Column, s: Column, d: int) -> Column:
+    """Squared L2 between vec's subspace-s slice and a centroid subvector,
+    as a 0.0-seeded left fold (chain-sum discipline — bit-identical to the
+    oracle's explicit parenthesized chain)."""
+    return F.aggregate(
+        F.zip_with(F.slice(vec, s * d + 1, d), sub,
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_codes(vectors: DataFrame, trainers: list[list[float]],
+             m: int = 8, dim: int = EMB_DIM,
+             v_id: str = "vec_id", vec: str = "e") -> DataFrame:
+    """Assign each vector its m-subspace PQ code: per subspace s, the
+    index j of the trainer subvector minimizing squared L2 (ties -> low
+    j). Codebook = the trainer rows' own subvectors (deterministic; a
+    Lloyd's refinement drops in exactly like train_centroids does for
+    IVF). ENTIRELY row-local — the codebook is a broadcast nested
+    literal, assignment is array_min over structs per subspace, no
+    explode, zero exchanges: at 100 TB this is a free projection on the
+    embedding scan producing the compressed table. Output: codes as
+    comma-joined string (array-output hashing rule) + round-6 total
+    distortion (the quantization-error diagnostic), folded in subspace
+    order both dialects."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    cent = F.array(*[
+        F.array(*[
+            F.struct(
+                F.lit(int(j)).alias("j"),
+                F.array(*[F.lit(float(x))
+                          for x in t[s * d:(s + 1) * d]]).alias("sub"))
+            for j, t in enumerate(trainers)])
+        for s in range(m)])
+    v = F.col(vec)
+
+    def best(s: Column) -> Column:
+        return F.array_min(F.transform(
+            F.element_at(cent, s + 1),
+            lambda c: F.struct(
+                _l2_sub_col(v, c["sub"], s, d).alias("dist"),
+                c["j"].alias("j"))))
+
+    subs = F.transform(F.sequence(F.lit(0), F.lit(m - 1)), best)
+    codes = F.array_join(
+        F.transform(subs, lambda r: r["j"].cast("string")), ",")
+    distortion = F.round(F.aggregate(
+        F.transform(subs, lambda r: r["dist"]),
+        F.lit(0.0), lambda acc, x: acc + x), 6)
+    return vectors.select(
+        F.col(v_id), codes.alias("codes"), distortion.alias("distortion"))
+
+
+def pq_l2_chain_sql(a: str, b: str, s_expr: str, d: int) -> str:
+    """Oracle chain for _l2_sub_col: ((0.0 + t1) + t2)... over the d dims
+    of subspace ``s_expr``. Both ``a`` and ``b`` are FULL vectors indexed
+    ``[s*d + i]`` (the Spark side slices the codebook at literal-build
+    time — same values, same fold order)."""
+    expr = "CAST(0.0 AS DOUBLE)"
+    for i in range(1, d + 1):
+        t = (f"(({a}[{s_expr} * {d} + {i}] - {b}[{s_expr} * {d} + {i}])"
+             f" * ({a}[{s_expr} * {d} + {i}] - {b}[{s_expr} * {d} + {i}]))")
+        expr = f"({expr} + {t})"
+    return expr

@@ -6572,3 +6572,55 @@ def rel_grouping_sets(spark, sf_dir):
     relational tier. DECIMAL sums for order-independence."""
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_GSETS_SQL)
+
+
+from geoutils_spark.operators.similarity import pq_l2_chain_sql  # noqa: E402
+
+_PQ_M, _PQ_D = 8, 8  # 8 subspaces x 8 dims over the 64-dim embeddings
+_PQ_DIST = pq_l2_chain_sql("b.e", "tr.te", "sub.s", _PQ_D)
+
+
+@register("emb_pq_codes", f"""
+    WITH base AS (
+      SELECT vec_id AS __id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    tr AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY __id) - 1 AS j, e AS te
+      FROM base WHERE __id % 31 = 3
+    ),
+    sub AS (SELECT UNNEST(range(0, {_PQ_M})) AS s),
+    dists AS (
+      SELECT b.__id, sub.s, tr.j, {_PQ_DIST} AS dist
+      FROM base b CROSS JOIN sub CROSS JOIN tr
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY b.__id, sub.s
+                                 ORDER BY dist ASC, tr.j ASC) = 1
+    )
+    SELECT __id AS vec_id,
+           string_agg(CAST(j AS VARCHAR), ',' ORDER BY s) AS codes,
+           ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(dist ORDER BY s)), (acc, x) -> acc + x), 6)
+             AS distortion
+    FROM dists GROUP BY __id
+    """)
+def emb_pq_codes(spark, sf_dir):
+    """Product quantization (Jegou et al. 2011) codes over the embedding
+    table: 8 subspaces x 8 dims, codebook = the deterministic trainer
+    rows' own subvectors (vec_id % 31 = 3, code index = rank by id —
+    same discipline as the IVF centroid predicate). Row-local broadcast-
+    codebook argmin per subspace, NO explode, ZERO exchanges — the
+    compressed-table projection a 100 TB embedding store runs on the
+    scan (64-dim float32 -> 8 bytes/vector at K<=256). Distortion is the
+    subspace-ordered chain fold both dialects; the oracle replays the
+    full assignment with QUALIFY argmin per (vector, subspace)."""
+    from geoutils_spark.operators.similarity import pq_codes
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"))
+    trainers = [
+        [float(x) for x in r["e"]]
+        for r in sorted(v.filter(F.col("vec_id") % 31 == 3).collect(),
+                        key=lambda r: r["vec_id"])
+    ]
+    return pq_codes(v, trainers, m=_PQ_M)

@@ -106,3 +106,30 @@ def test_trained_centroids_improve_recall(vectors, spark):
     # determinism: same input -> identical centroids
     again = SIM.train_centroids(vectors, k=3, iters=3)
     assert trained == again
+
+
+def test_pq_trainer_self_codes(spark):
+    """A codebook trainer vector quantizes to ITSELF in every subspace
+    (code = its own index, distortion exactly 0.0); non-trainers get
+    valid codes in [0, K) with nonnegative distortion."""
+    from pyspark.sql import functions as F
+
+    from geoutils_spark.operators.similarity import pq_codes
+
+    v = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id",
+                F.transform("embedding", lambda x: x.cast("double")).alias("e"))
+    tr_rows = sorted(v.filter(F.col("vec_id") % 31 == 3).collect(),
+                     key=lambda r: r["vec_id"])
+    trainers = [[float(x) for x in r["e"]] for r in tr_rows]
+    k = len(trainers)
+    assert k >= 2
+    out = {r["vec_id"]: r for r in pq_codes(v, trainers, m=8).collect()}
+    for j, r in enumerate(tr_rows):
+        got = out[r["vec_id"]]
+        assert got["codes"] == ",".join([str(j)] * 8)
+        assert got["distortion"] == 0.0
+    for vid, r in out.items():
+        parts = [int(x) for x in r["codes"].split(",")]
+        assert len(parts) == 8 and all(0 <= p < k for p in parts)
+        assert r["distortion"] >= 0.0
