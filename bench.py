@@ -142,6 +142,7 @@ EXTRA = [
     "text_pmi_pairs",
     "rel_grouping_sets",
     "emb_pq_codes",
+    "stream_attribution_batch",
 ]
 
 

@@ -6624,3 +6624,41 @@ def emb_pq_codes(spark, sf_dir):
                         key=lambda r: r["vec_id"])
     ]
     return pq_codes(v, trainers, m=_PQ_M)
+
+
+@register("stream_attribution_batch", """
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, ts AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, event_id AS conv_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT p.conv_id, c.click_id,
+             epoch_us(p.pts) - epoch_us(c.cts) AS gap_us,
+             ROW_NUMBER() OVER (PARTITION BY p.conv_id
+                                ORDER BY c.cts DESC, c.click_id DESC) AS rn
+      FROM p JOIN c ON p.user_id = c.user_id
+       AND p.pts > c.cts AND p.pts <= c.cts + INTERVAL 30 MINUTE
+    )
+    SELECT conv_id, click_id, gap_us FROM j WHERE rn = 1
+    """)
+def stream_attribution_batch(spark, sf_dir):
+    """Batch twin of the stream-stream interval join
+    (streaming/joins.py): click -> purchase last-touch attribution per
+    user within a 30-minute horizon. The SAME interval_join runs on
+    streaming frames with watermarks bounding join state at
+    O(rate x (watermark + horizon)); on batch frames it is a user_id
+    equi-join with a range post-filter (no NestedLoop) and last_touch
+    is a partial-aggregating max_by, not a window — a bot user with
+    10^6 clicks combines map-side (test_streaming.py pins batch/stream
+    row parity on the same input)."""
+    from geoutils_spark.streaming.joins import interval_join, last_touch
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("user_id", "event_id", "ts")
+    convs = ev.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "event_id", "ts")
+    return last_touch(interval_join(clicks, convs, horizon="30 minutes"))

@@ -268,3 +268,39 @@ def test_streaming_dedup_bucketed_keys_store(spark, tmp_path_factory):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     finally:
         spark.sql("DROP TABLE IF EXISTS t_dedup_keys")
+
+
+def test_interval_join_stream_batch_parity(spark, events_batch, tmp_path_factory):
+    """Stream-stream interval join emits exactly the batch join's pairs
+    on the same input (inner joins emit eagerly; watermark only bounds
+    state), and the plan carries watermarks on BOTH sides so state is
+    evictable."""
+    from geoutils_spark.streaming.joins import interval_join, last_touch
+
+    d = str(tmp_path_factory.mktemp("ij") / "events")
+    events_batch.write.mode("overwrite").parquet(d)
+    clicks_b = events_batch.filter(F.col("event_type") == "click") \
+        .select("user_id", "event_id", "ts")
+    convs_b = events_batch.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "event_id", "ts")
+    want = set(map(tuple, interval_join(clicks_b, convs_b)
+                   .select("user_id", "l_event_id", "r_event_id").collect()))
+    assert want, "fixture must produce at least one attribution pair"
+
+    stream = spark.readStream.schema(events_batch.schema).parquet(d)
+    clicks_s = stream.filter(F.col("event_type") == "click") \
+        .select("user_id", "event_id", "ts")
+    convs_s = stream.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "event_id", "ts")
+    out = interval_join(clicks_s, convs_s)
+    q = (out.writeStream.format("memory").queryName("ij_q")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = set(map(tuple, spark.sql(
+        "SELECT user_id, l_event_id, r_event_id FROM ij_q").collect()))
+    assert got == want
+    # last-touch on the pairs: one row per conversion, positive gap
+    lt = last_touch(interval_join(clicks_b, convs_b)).collect()
+    convs_with_click = {p[2] for p in want}
+    assert len(lt) == len(convs_with_click)
+    assert all(r["gap_us"] > 0 for r in lt)
