@@ -143,6 +143,7 @@ EXTRA = [
     "rel_grouping_sets",
     "emb_pq_codes",
     "stream_attribution_batch",
+    "emb_pq_adc_topk",
 ]
 
 

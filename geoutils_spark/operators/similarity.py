@@ -336,6 +336,95 @@ def pq_codes(vectors: DataFrame, trainers: list[list[float]],
         F.col(v_id), codes.alias("codes"), distortion.alias("distortion"))
 
 
+def pq_code_array(vectors: DataFrame, trainers: list[list[float]],
+                  m: int = 8, dim: int = EMB_DIM,
+                  v_id: str = "vec_id", vec: str = "e") -> DataFrame:
+    """Same assignment as pq_codes but codes as ``array<int>`` — the
+    join-ready shape ADC scans consume (pq_codes' string form exists for
+    the array-output hashing rule)."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    cent = F.array(*[
+        F.array(*[
+            F.struct(
+                F.lit(int(j)).alias("j"),
+                F.array(*[F.lit(float(x))
+                          for x in t[s * d:(s + 1) * d]]).alias("sub"))
+            for j, t in enumerate(trainers)])
+        for s in range(m)])
+    v = F.col(vec)
+
+    def best(s: Column) -> Column:
+        return F.array_min(F.transform(
+            F.element_at(cent, s + 1),
+            lambda c: F.struct(
+                _l2_sub_col(v, c["sub"], s, d).alias("dist"),
+                c["j"].alias("j"))))
+
+    subs = F.transform(F.sequence(F.lit(0), F.lit(m - 1)), best)
+    return vectors.select(
+        F.col(v_id),
+        F.transform(subs, lambda r: r["j"]).alias("codes"))
+
+
+def _adc_lut(query: list[float], trainers: list[list[float]],
+             m: int, d: int) -> list[list[float]]:
+    """Driver-side ADC lookup table lut[s][j] = squared L2 between the
+    query's subspace-s slice and trainer j's — accumulated as the SAME
+    0.0-seeded left chain the oracle writes (python float IS IEEE
+    double, so the values are bit-identical to the SQL chain)."""
+    lut = []
+    for s in range(m):
+        row = []
+        for t in trainers:
+            acc = 0.0
+            for i in range(d):
+                diff = query[s * d + i] - t[s * d + i]
+                acc = acc + diff * diff
+            row.append(acc)
+        lut.append(row)
+    return lut
+
+
+def pq_adc_topk(code_table: DataFrame,
+                queries: list[tuple[int, list[float]]],
+                trainers: list[list[float]], k: int,
+                m: int = 8, dim: int = EMB_DIM,
+                v_id: str = "vec_id") -> DataFrame:
+    """Asymmetric distance computation over the COMPRESSED table
+    (Jegou et al. 2011 §IV): each query carries an m x K lookup table of
+    exact query-to-centroid subspace distances; scanning a vector costs
+    m table lookups + m adds instead of dim multiply-adds on floats the
+    scan never reads. The LUTs travel as DATA (a broadcast query
+    DataFrame with an array<array<double>> column, built driver-side
+    with the oracle's chain order), so the plan is: code scan x
+    broadcast queries -> fold over subspaces -> per-query top-k window.
+    At 100 TB the scan reads 8-byte codes, not 256-byte vectors — a 32x
+    I/O reduction — and the only exchange is the per-query top-k."""
+    d = dim // m
+    spark = code_table.sparkSession
+    qrows = [(int(qid), _adc_lut(list(map(float, qv)), trainers, m, d))
+             for qid, qv in queries]
+    qdf = spark.createDataFrame(
+        qrows, "query_id long, lut array<array<double>>")
+    cand = code_table.crossJoin(F.broadcast(qdf)) \
+        .filter(F.col(v_id) != F.col("query_id"))
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),
+        lambda acc, s: acc + F.element_at(
+            F.element_at(F.col("lut"), s.cast("int") + 1),
+            F.element_at(F.col("codes"), s.cast("int") + 1).cast("int") + 1))
+    cand = cand.select("query_id", F.col(v_id), adc.alias("adc"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col(v_id).asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col(v_id).alias("neighbor_id"),
+                    F.round(F.col("adc"), 6).alias("adc"),
+                    F.col("rank").cast("long").alias("rank")))
+
+
 def pq_l2_chain_sql(a: str, b: str, s_expr: str, d: int) -> str:
     """Oracle chain for _l2_sub_col: ((0.0 + t1) + t2)... over the d dims
     of subspace ``s_expr``. Both ``a`` and ``b`` are FULL vectors indexed

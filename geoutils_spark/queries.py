@@ -6662,3 +6662,68 @@ def stream_attribution_batch(spark, sf_dir):
     convs = ev.filter(F.col("event_type") == "purchase") \
         .select("user_id", "event_id", "ts")
     return last_touch(interval_join(clicks, convs, horizon="30 minutes"))
+
+
+_ADC_INNER = pq_l2_chain_sql("q.e", "tr.te", "d.s", _PQ_D)
+_PQ_ASSIGN_DIST = pq_l2_chain_sql("b.e", "tr.te", "sub.s", _PQ_D)
+
+
+@register("emb_pq_adc_topk", f"""
+    WITH base AS (
+      SELECT vec_id AS __id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    tr AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY __id) - 1 AS j, e AS te
+      FROM base WHERE __id % 31 = 3
+    ),
+    sub AS (SELECT UNNEST(range(0, {_PQ_M})) AS s),
+    dists AS (
+      SELECT b.__id, sub.s, tr.j, {_PQ_ASSIGN_DIST} AS dist
+      FROM base b CROSS JOIN sub CROSS JOIN tr
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY b.__id, sub.s
+                                 ORDER BY dist ASC, tr.j ASC) = 1
+    ),
+    q AS (SELECT __id AS query_id, e FROM base WHERE __id % 50 = 0),
+    terms AS (
+      SELECT q.query_id, d.__id AS vid, d.s, {_ADC_INNER} AS t
+      FROM q CROSS JOIN dists d JOIN tr ON tr.j = d.j
+      WHERE d.__id <> q.query_id
+    ),
+    adc AS (
+      SELECT query_id, vid,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(t ORDER BY s)), (acc, x) -> acc + x) AS a
+      FROM terms GROUP BY query_id, vid
+    )
+    SELECT query_id, vid AS neighbor_id, ROUND(a, 6) AS adc, rank
+    FROM (
+      SELECT query_id, vid, a,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY a ASC, vid ASC) AS rank
+      FROM adc
+    ) WHERE rank <= 5
+    """)
+def emb_pq_adc_topk(spark, sf_dir):
+    """ADC top-k over the PQ-compressed table (Jegou et al. 2011 §IV):
+    queries scan 8-byte codes, not 256-byte vectors (32x scan I/O cut) —
+    each query ships an m x K lookup table of exact query-to-centroid
+    subspace distances built driver-side with the ORACLE's chain order
+    (python float == IEEE double, so LUT values are bit-identical to the
+    SQL chains), and per-vector distance is m lookups + m adds folded in
+    subspace order. Plan: code scan x broadcast LUT queries -> fold ->
+    per-query top-5 window; the oracle replays assignment AND the two-
+    level chain fold exactly."""
+    from geoutils_spark.operators.similarity import (
+        pq_adc_topk, pq_code_array)
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"))
+    rows = sorted(v.filter(F.col("vec_id") % 31 == 3).collect(),
+                  key=lambda r: r["vec_id"])
+    trainers = [[float(x) for x in r["e"]] for r in rows]
+    queries = [(int(r["vec_id"]), [float(x) for x in r["e"]])
+               for r in v.filter(F.col("vec_id") % 50 == 0).collect()]
+    codes = pq_code_array(v, trainers, m=_PQ_M)
+    return pq_adc_topk(codes, queries, trainers, k=5, m=_PQ_M)

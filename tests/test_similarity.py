@@ -133,3 +133,41 @@ def test_pq_trainer_self_codes(spark):
         parts = [int(x) for x in r["codes"].split(",")]
         assert len(parts) == 8 and all(0 <= p < k for p in parts)
         assert r["distortion"] >= 0.0
+
+
+def test_pq_adc_equals_reconstruction_distance(spark):
+    """ADC(q, v) is BY DEFINITION ||q - reconstruct(v)||^2: the looked-up
+    subspace distances are exact query-to-centroid distances. Check the
+    operator's folded value against a numpy reconstruction for every
+    (query, neighbor) it returns."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geoutils_spark.operators.similarity import (
+        pq_adc_topk, pq_code_array)
+
+    v = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id",
+                F.transform("embedding", lambda x: x.cast("double")).alias("e"))
+    rows = sorted(v.filter(F.col("vec_id") % 31 == 3).collect(),
+                  key=lambda r: r["vec_id"])
+    trainers = [[float(x) for x in r["e"]] for r in rows]
+    queries = [(int(r["vec_id"]), [float(x) for x in r["e"]])
+               for r in v.filter(F.col("vec_id") % 50 == 0).collect()]
+    codes_df = pq_code_array(v, trainers, m=8)
+    out = pq_adc_topk(codes_df, queries, trainers, k=5, m=8).collect()
+    assert len(out) == 5 * len(queries)
+    cb = np.array(trainers)
+    codes = {r["vec_id"]: r["codes"] for r in codes_df.collect()}
+    qv = dict(queries)
+    for r in out:
+        rec = np.concatenate([cb[c][s*8:(s+1)*8]
+                              for s, c in enumerate(codes[r["neighbor_id"]])])
+        want = float(np.sum((np.array(qv[r["query_id"]]) - rec) ** 2))
+        assert abs(r["adc"] - want) < 1e-5, (r, want)
+    # ranks are contiguous 1..5 per query
+    from collections import defaultdict
+    per_q = defaultdict(list)
+    for r in out:
+        per_q[r["query_id"]].append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
