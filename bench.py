@@ -144,6 +144,7 @@ EXTRA = [
     "emb_pq_codes",
     "stream_attribution_batch",
     "emb_pq_adc_topk",
+    "text_edit_neardup",
 ]
 
 

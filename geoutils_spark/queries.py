@@ -6727,3 +6727,39 @@ def emb_pq_adc_topk(spark, sf_dir):
                for r in v.filter(F.col("vec_id") % 50 == 0).collect()]
     codes = pq_code_array(v, trainers, m=_PQ_M)
     return pq_adc_topk(codes, queries, trainers, k=5, m=_PQ_M)
+
+
+@register("text_edit_neardup", """
+    WITH t AS (
+      SELECT doc_id, SUBSTR(text, 1, 40) AS title FROM documents
+    ),
+    b AS (SELECT doc_id, title, SUBSTR(title, 1, 3) AS blk FROM t)
+    SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+           CAST(levenshtein(x.title, y.title) AS BIGINT) AS dist
+    FROM b x JOIN b y
+      ON x.blk = y.blk AND x.doc_id < y.doc_id
+     AND levenshtein(x.title, y.title) <= 12
+    """)
+def text_edit_neardup(spark, sf_dir):
+    """Edit-distance near-duplicate pairs (record-linkage verify stage):
+    40-char title keys, candidate pairs within a blocking key, kept when
+    Levenshtein <= 12 — the PRECISE verifier that runs after a candidate
+    generator. Both engines ship the same classic DP levenshtein
+    built-in, so distances are integer-exact. At corpus scale the
+    candidate source is the LSH/fingerprint tier (dedup.py band buckets
+    or winnowing fp joins — candidate-bounded, skew-safe); the 3-char
+    prefix block here is the fixture-sized stand-in and would salt like
+    any hot key at 10^12 rows. The join is an equi-join on blk with the
+    distance as post-filter — no NestedLoop."""
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("title"))
+    b = t.withColumn("blk", F.substring("title", 1, 3))
+    x, y = b.alias("x"), b.alias("y")
+    return (x.join(y, (F.col("x.blk") == F.col("y.blk"))
+                   & (F.col("x.doc_id") < F.col("y.doc_id"))
+                   & (F.levenshtein(F.col("x.title"), F.col("y.title"))
+                      <= 12))
+            .select(F.col("x.doc_id").alias("a_id"),
+                    F.col("y.doc_id").alias("b_id"),
+                    F.levenshtein(F.col("x.title"), F.col("y.title"))
+                    .cast("long").alias("dist")))

@@ -168,3 +168,30 @@ def test_embedding_near_dup_recall(spark):
     # precision is exact by construction (cosine verify)
     for a, b in got:
         assert (a, b) in truth or True  # verified below via threshold filter
+
+
+def test_edit_neardup_blocking_tradeoff(spark):
+    """The blocked edit-distance verifier finds in-block near-dups and
+    (by design) misses cross-block ones — the documented blocking
+    tradeoff a production run covers with LSH candidates instead."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from geoutils_spark.queries import SPARK_QUERIES
+
+    tmp = tempfile.mkdtemp()
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog xx"),
+        (2, "the quick brown fox jumps over the lazy cat yy"),   # in-block dup
+        (3, "Xhe quick brown fox jumps over the lazy dog xx"),   # cross-block
+        (4, "completely different content that matches nothing"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    got = {(r["a_id"], r["b_id"]): r["dist"]
+           for r in SPARK_QUERIES["text_edit_neardup"](spark, tmp).collect()}
+    assert (1, 2) in got and got[(1, 2)] <= 12
+    assert not any(3 in p for p in got)   # blocked away despite dist 1
+    assert not any(4 in p for p in got)
