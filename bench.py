@@ -145,6 +145,7 @@ EXTRA = [
     "stream_attribution_batch",
     "emb_pq_adc_topk",
     "text_edit_neardup",
+    "geo_convex_hull",
 ]
 
 

@@ -6763,3 +6763,39 @@ def text_edit_neardup(spark, sf_dir):
                     F.col("y.doc_id").alias("b_id"),
                     F.levenshtein(F.col("x.title"), F.col("y.title"))
                     .cast("long").alias("dist")))
+
+
+@register("geo_convex_hull", f"""
+    WITH grid AS ({_grid_sql()})
+    SELECT way_id, CAST(10 AS BIGINT) AS n_input, CAST(4 AS BIGINT) AS n_hull,
+           ROUND((maxx - minx) * (maxy - miny), 9) AS hull_area
+    FROM grid
+    """)
+def geo_convex_hull(spark, sf_dir):
+    """Convex hull per feature (operators/hull.py, monotone chain over
+    Arrow batches): each fixture building contributes its 5 CLOSED ring
+    vertices (first repeated — dropped by the hull's dedup) plus 5
+    strictly-interior probe points (centroid + quarter points
+    derived from the stored bbox doubles) — the hull must recover
+    exactly the rectangle: 4 vertices, area bit-equal to the oracle's
+    analytic (maxx-minx)*(maxy-miny) thanks to the shift-then-shoelace
+    fold (hull.py docstring). The oracle re-derives expectations from
+    the fixture construction rules — an independent derivation, not a
+    SQL copy of the plan."""
+    from geoutils_spark.operators.hull import convex_hull_stats
+    polys = fixtures.polygons_df(spark).filter(F.col("kind") == "building")
+    v = F.explode("ring").alias("v")
+    corners = polys.select("way_id", v).select(
+        "way_id", F.col("v.lon").alias("lon"), F.col("v.lat").alias("lat"))
+    bb = F.col("bbox")
+    inner = []
+    for fx, fy in [(0.5, 0.5), (0.25, 0.5), (0.75, 0.5),
+                   (0.5, 0.25), (0.5, 0.75)]:
+        inner.append(polys.select(
+            "way_id",
+            (bb["minx"] + (bb["maxx"] - bb["minx"]) * F.lit(fx)).alias("lon"),
+            (bb["miny"] + (bb["maxy"] - bb["miny"]) * F.lit(fy)).alias("lat")))
+    pts = corners
+    for i in inner:
+        pts = pts.unionAll(i)
+    return convex_hull_stats(pts)

@@ -253,3 +253,39 @@ def test_dae_export_sink(spark, tmp_path):
     ).collect()[0]
     assert n_geoms == stats.m and n_nodes == stats.m
     assert total_v == stats.v and total_t == stats.t
+
+
+def test_convex_hull_properties(spark):
+    """Hull invariants on random point clouds: hull vertices are input
+    points, every input point lies inside/on the hull (cross-product
+    test on the CCW boundary), and the hull is strictly convex; plus the
+    two-level hull-of-hulls decomposition equals the direct hull (the
+    scale path in hull.py's docstring)."""
+    import numpy as np
+
+    from geoutils_spark.operators.hull import hull_np
+
+    rng = np.random.RandomState(42)
+    for trial in range(20):
+        pts = rng.rand(rng.randint(3, 60), 2) * 10
+        h = hull_np(pts)
+        # hull vertices come from the input set
+        for v in h:
+            assert (np.isclose(pts, v).all(axis=1)).any()
+        # CCW + all points inside/on: cross(edge, p - a) >= 0
+        n = len(h)
+        for i in range(n):
+            a, b = h[i], h[(i + 1) % n]
+            e = b - a
+            crosses = e[0] * (pts[:, 1] - a[1]) - e[1] * (pts[:, 0] - a[0])
+            assert (crosses >= -1e-9).all(), (trial, i)
+        # strict convexity at every hull vertex
+        for i in range(n):
+            o, a, b = h[i - 1], h[i], h[(i + 1) % n]
+            assert ((a[0] - o[0]) * (b[1] - o[1])
+                    - (a[1] - o[1]) * (b[0] - o[0])) > 0
+        # hull-of-hulls == direct hull
+        mid = len(pts) // 2
+        if mid >= 3 and len(pts) - mid >= 3:
+            merged = np.vstack([hull_np(pts[:mid]), hull_np(pts[mid:])])
+            assert np.array_equal(hull_np(merged), h)
