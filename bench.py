@@ -146,6 +146,8 @@ EXTRA = [
     "emb_pq_adc_topk",
     "text_edit_neardup",
     "geo_convex_hull",
+    "rel_weighted_sample",
+    "web_label_propagation",
 ]
 
 

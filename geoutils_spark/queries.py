@@ -6799,3 +6799,101 @@ def geo_convex_hull(spark, sf_dir):
     for i in inner:
         pts = pts.unionAll(i)
     return convex_hull_stats(pts)
+
+
+_WS_U = ("(CAST(CAST('0x' || SUBSTR(md5('ws|' || CAST(doc_id AS VARCHAR)), 1, 15)"
+         " AS BIGINT) AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE))")
+
+
+@register("rel_weighted_sample", f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             CAST(1 + doc_id % 10 AS DOUBLE) AS weight,
+             (LN({_WS_U}) / CAST(1 + doc_id % 10 AS DOUBLE)) AS skey
+      FROM documents
+    )
+    SELECT doc_id, lang, weight, rank FROM (
+      SELECT doc_id, lang, weight,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY skey DESC, doc_id ASC) AS rank
+      FROM w
+    ) WHERE rank <= 5
+    """)
+def rel_weighted_sample(spark, sf_dir):
+    """Weighted reservoir sampling per stratum (Efraimidis-Spirakis
+    A-ES, IPL 2006): key = ln(u) / w with u a row-local md5-derived
+    uniform — top-k by key IS a weighted-without-replacement sample, the
+    quality-weighted source-mixing primitive of training-data pipelines
+    (sample high-quality docs more, deterministically re-runnable).
+    ONE exchange (the per-stratum top-k window; the salted topk_per_group
+    operator swaps in when a stratum is 10^9 rows). Identical u
+    derivation and ln/divide structure both dialects."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    u = (F.conv(F.substring(
+            F.md5(F.concat(F.lit("ws|"),
+                           F.col("doc_id").cast("string")).cast("binary")),
+            1, 15), 16, 10).cast("long").cast("double")
+         / F.lit(float(1 << 60)))
+    wcol = (F.lit(1) + F.col("doc_id") % 10).cast("double")
+    d = d.select("doc_id", "lang", wcol.alias("weight"),
+                 (F.log(u) / wcol).alias("skey"))
+    win = Window.partitionBy("lang").orderBy(
+        F.col("skey").desc(), F.col("doc_id").asc())
+    return (d.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= 5)
+            .select("doc_id", "lang", "weight",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_round_sql(prev: str, cur: str) -> str:
+    return f"""
+    {cur} AS (
+      SELECT v AS node, label FROM (
+        SELECT u.v, l.label,
+               ROW_NUMBER() OVER (PARTITION BY u.v
+                                  ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+        FROM und u JOIN {prev} l ON u.nbr = l.node
+        GROUP BY u.v, l.label
+      ) WHERE rn = 1
+    )"""
+
+
+_LPA_SQL = (
+    """
+    WITH e0 AS (
+      SELECT DISTINCT doc_id % 101 AS src, (doc_id * 7 + 3) % 101 AS dst
+      FROM documents
+    ),
+    und AS (
+      SELECT DISTINCT v, nbr FROM (
+        SELECT src AS v, dst AS nbr FROM e0
+        UNION ALL SELECT dst AS v, src AS nbr FROM e0
+      )
+    ),
+    l0 AS (SELECT DISTINCT v AS node, v AS label FROM und),"""
+    + ",".join(_lpa_round_sql(f"l{r}", f"l{r + 1}")
+               for r in range(_LPA_ROUNDS))
+    + f"""
+    SELECT node, label FROM l{_LPA_ROUNDS}
+    """)
+
+
+@register("web_label_propagation", _LPA_SQL)
+def web_label_propagation(spark, sf_dir):
+    """Community detection on the host link graph by synchronous label
+    propagation (operators/labelprop.py) — determinized: most-frequent
+    neighbor label, ties -> smallest, so the whole trajectory is
+    unrollable and the oracle replays all three rounds as CTEs (the
+    redirect/pagerank trajectory discipline — not just a fixed point).
+    Per round: one edge x label equi-join + one (node,label) count agg +
+    one partial-aggregating min_by — no windows over unbounded groups,
+    so a 10^8-degree hub combines map-side."""
+    from geoutils_spark.operators.labelprop import label_propagation
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = d.select(
+        (F.col("doc_id") % 101).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 101).alias("dst")).distinct()
+    return label_propagation(edges, rounds=_LPA_ROUNDS)

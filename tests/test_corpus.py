@@ -411,3 +411,18 @@ def test_prepare_corpus_robots_requires_url(spark):
     with _pytest.raises(ValueError, match="url"):
         CP.prepare_corpus(docs, benchmarks, robots=robots,
                           collect_counts=False)
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """A-ES weighted sampling: with weights 1..10 the selected rows'
+    mean weight must sit clearly above the population mean (5.5), and
+    the sample is deterministic across runs."""
+    from geoutils_spark.queries import SPARK_QUERIES
+
+    a = SPARK_QUERIES["rel_weighted_sample"](spark, "/root/testdata/sf0.01")
+    rows = a.collect()
+    assert len(rows) == 25
+    mean_w = sum(r["weight"] for r in rows) / len(rows)
+    assert mean_w > 6.0, mean_w   # population mean is 5.5
+    b = SPARK_QUERIES["rel_weighted_sample"](spark, "/root/testdata/sf0.01")
+    assert sorted(map(tuple, b.collect())) == sorted(map(tuple, rows))

@@ -91,3 +91,34 @@ def test_anchor_pairs_attribute_order(spark):
 def test_anchor_pairs_no_space_no_match(spark):
     # malformed '<ahref=' never matches
     assert _pairs(spark, '<ahref="https://a.example">z</a>') == []
+
+
+def test_label_propagation_two_communities(spark):
+    """Two triangles bridged by one edge: LPA with the deterministic
+    tie rule must match a pure-python replay of the same rule, and the
+    triangles must end up in (at most) two internally-uniform
+    communities."""
+    from collections import Counter
+
+    from geoutils_spark.operators.labelprop import label_propagation
+
+    e = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10), (2, 10)]
+    df = spark.createDataFrame(e, "src long, dst long")
+    got = {r["node"]: r["label"]
+           for r in label_propagation(df, rounds=3).collect()}
+
+    und = {}
+    for a, b in e:
+        und.setdefault(a, set()).add(b)
+        und.setdefault(b, set()).add(a)
+    labels = {v: v for v in und}
+    for _ in range(3):
+        nxt = {}
+        for v, nbrs in und.items():
+            cnt = Counter(labels[n] for n in nbrs)
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[v] = best[0]
+        labels = nxt
+    assert got == labels
+    assert len({got[v] for v in (0, 1, 2)}) == 1      # triangle 1 uniform
+    assert len({got[v] for v in (10, 11, 12)}) == 1   # triangle 2 uniform
