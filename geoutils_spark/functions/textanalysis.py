@@ -260,26 +260,34 @@ def winnow_keys_col(text: Column, k: int = 5, w: int = 8) -> Column:
     zero exchanges until the caller aggregates. Decode with
     ``pos = n_grams - (key & 65535)``, ``fp = key >> 16``.
 
-    Shape note: the window min is computed as a nested transform that
-    re-hashes each gram per covering window — O(n*w) md5 calls. The
-    two-step form (keys array column, then mins over slices) LOOKS
-    cheaper but is O(n^2): CollapseProject inlines a once-referenced
-    array alias into the interpreted HOF lambda, re-evaluating all n
-    hashes per window (the word_shingles_col perf-note trap). With w=8
-    the explicit n*w form is strictly better and scale-linear."""
+    Shape note — the lambda-binding barrier. The n gram hashes must be
+    evaluated ONCE per row, then read w times by the sliding windows.
+    Aliasing the hash array as a projection column does NOT guarantee
+    that: CollapseProject re-inlines a derived array through projection
+    boundaries (e.g. under the caller's explode), and each window's
+    ``slice`` then re-evaluates all n md5s — O(n^2), measured 40 s ->
+    timeout at sf0.1. Instead the array is bound as a HIGHER-ORDER-
+    FUNCTION lambda variable: ``transform(array(keys), ks -> ...)``
+    evaluates ``keys`` exactly once and every ``ks`` reference inside is
+    an attribute read Catalyst cannot inline through. n md5s + n*w
+    integer comparisons, collapse-proof in any consumer context
+    (test_textanalysis pins one md5 per optimized plan)."""
     n = F.length(text) - F.lit(k - 1)
-
-    def key(j):
-        return F.conv(
+    keys = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda j: F.conv(
             F.substring(F.md5(text.substr(j, F.lit(k)).cast("binary")), 1, 11),
-            16, 10).cast("long") * F.lit(1 << WINNOW_POS_BITS) \
-            + (n - j).cast("long")
+            16, 10).cast("long") * F.lit(1 << WINNOW_POS_BITS)
+        + (n - j).cast("long"),
+    )
 
-    sel = F.array_distinct(F.transform(
-        F.sequence(F.lit(1), n - F.lit(w - 1)),
-        lambda i: F.array_min(F.transform(
-            F.sequence(i, i + F.lit(w - 1)), key)),
-    ))
+    def select_mins(ks):
+        return F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size(ks) - F.lit(w - 1)),
+            lambda i: F.array_min(F.slice(ks, i, F.lit(w))),
+        ))
+
+    sel = F.get(F.transform(F.array(keys), select_mins), F.lit(0))
     return F.when(n >= w, sel).otherwise(F.array().cast("array<bigint>"))
 
 

@@ -6414,14 +6414,20 @@ def geo_cell_kring(spark, sf_dir):
     """Cell k-ring / disk (H3 kRing analog on the Morton grid; the kNN
     candidate generator exposed as a first-class query): the 3x3
     neighborhood of each point's level-12 cell, antimeridian x-wrap,
-    poles y-clamped (functions/cells.py neighbor_cells_col). Row-local
-    bit math, zero exchanges. The oracle re-derives every neighbor with
-    the tile-offset bit-math twins (cell_from_tile_sql), including the
-    wrap/clamp edge rules. Sorted, comma-joined ids (the array-output
-    hashing rule)."""
+    poles y-clamped. Row-local bit math, zero exchanges — neighbors are
+    re-encoded from the KEPT tile coords (``with_cell(keep_tile_xy=)``
+    + ``neighbor_cells_from_tile_col``), per the cells.py rule that
+    neighbor/center consumers keep grid coords instead of decoding the
+    id: the decode OR-ladder inlined 9x cost 26 s at sf0.1 vs 0.5 s for
+    the tile-attribute form (BENCH/R05_DELTA.md). The oracle re-derives
+    every neighbor with the tile-offset bit-math twins
+    (cell_from_tile_sql), including the wrap/clamp edge rules. Sorted,
+    comma-joined ids (the array-output hashing rule)."""
     pts = _documents_points(spark, sf_dir)
-    d = C.with_cell(pts, "lon", "lat", 12, "cell_id")
-    nbs = C.neighbor_cells_col(F.col("cell_id"), 12, ring=1)
+    d = C.with_cell(pts, "lon", "lat", 12, "cell_id",
+                    keep_tile_xy=("__tx", "__ty"))
+    nbs = C.neighbor_cells_from_tile_col(
+        F.col("__tx"), F.col("__ty"), 12, ring=1)
     return d.select(
         "doc_id", "cell_id",
         F.array_join(F.transform(F.sort_array(nbs),

@@ -165,6 +165,26 @@ def test_winnow_guarantee_and_bounds(spark):
             assert 1 <= r["pos"] <= n            # valid gram index
 
 
+def test_winnow_single_hash_pass_plan(spark):
+    """Pin the lambda-binding barrier (winnow_keys_col shape note): the
+    gram-hash transform must appear EXACTLY ONCE in the optimized plan
+    even under an explode consumer. If CollapseProject ever re-inlines
+    the keys array into the per-window slice lambda the plan grows one
+    md5 per reference and evaluation degrades O(n*w) -> O(n^2) (the
+    40 s -> timeout regression at sf0.1 this guards against)."""
+    from pyspark.sql import functions as F
+
+    from geoutils_spark.functions.textanalysis import winnow_keys_col
+
+    df = spark.createDataFrame(
+        [(1, "some reasonably long text for the plan shape test")],
+        "doc_id long, text string")
+    ex = df.select(
+        "doc_id", F.explode(winnow_keys_col(F.col("text"), 5, 8)).alias("k"))
+    plan = ex._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("md5") == 1, plan
+
+
 def test_pmi_pair_expansion_window(spark):
     """Pair expansion must produce exactly the unordered token pairs at
     distance 1..3 (zip-against-shifted-slice trick), and PMI must match
