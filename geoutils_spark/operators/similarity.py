@@ -292,22 +292,95 @@ def _l2_sub_col(vec: Column, sub: Column, s: Column, d: int) -> Column:
         F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _pq_assign_np(V, C, m: int):
+    """Vectorized PQ assignment, BIT-EXACT to the Catalyst/oracle chain:
+    squared-L2 accumulates dim-by-dim as ``acc = acc + diff*diff`` over
+    (n, K) float64 arrays — each element's additions happen in exactly
+    the 0.0-seeded left-chain order of ``_l2_sub_col`` / the SQL twin,
+    so distances (and therefore argmins and distortions) match the
+    interpreted form to the last bit. Ties -> lowest j via np.argmin
+    first-occurrence (== array_min struct(dist, j)). Returns
+    (codes (n, m) int32, mind (n, m) float64)."""
+    import numpy as np
+    n, dim = V.shape
+    d = dim // m
+    codes = np.empty((n, m), dtype="int32")
+    mind = np.empty((n, m), dtype="float64")
+    for s in range(m):
+        acc = np.zeros((n, C.shape[0]), dtype="float64")
+        for i in range(d):
+            diff = V[:, s * d + i][:, None] - C[None, :, s * d + i]
+            acc = acc + diff * diff
+        j = np.argmin(acc, axis=1)
+        codes[:, s] = j
+        mind[:, s] = acc[np.arange(n), j]
+    return codes, mind
+
+
+def _pq_assign_map(trainers, m: int, v_id: str, vec: str, emit):
+    """mapInPandas factory shared by the two arrow-backend code tables:
+    ``emit(pdf, codes, mind) -> output pdf`` shapes the batch."""
+    import numpy as np
+    C = np.asarray(trainers, dtype="float64")
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray([np.asarray(x, dtype="float64")
+                            for x in pdf[vec]])
+            codes, mind = _pq_assign_np(V, C, m)
+            yield emit(pdf, codes, mind)
+    return gen
+
+
 def pq_codes(vectors: DataFrame, trainers: list[list[float]],
              m: int = 8, dim: int = EMB_DIM,
-             v_id: str = "vec_id", vec: str = "e") -> DataFrame:
+             v_id: str = "vec_id", vec: str = "e",
+             backend: str = "arrow") -> DataFrame:
     """Assign each vector its m-subspace PQ code: per subspace s, the
     index j of the trainer subvector minimizing squared L2 (ties -> low
     j). Codebook = the trainer rows' own subvectors (deterministic; a
     Lloyd's refinement drops in exactly like train_centroids does for
-    IVF). ENTIRELY row-local — the codebook is a broadcast nested
-    literal, assignment is array_min over structs per subspace, no
-    explode, zero exchanges: at 100 TB this is a free projection on the
-    embedding scan producing the compressed table. Output: codes as
-    comma-joined string (array-output hashing rule) + round-6 total
+    IVF). ZERO exchanges either backend: at 100 TB this is a projection
+    on the embedding scan producing the compressed table. Output: codes
+    as comma-joined string (array-output hashing rule) + round-6 total
     distortion (the quantization-error diagnostic), folded in subspace
-    order both dialects."""
+    order both dialects.
+
+    ``backend="arrow"`` (default) runs the numpy kernel — K x d matrix
+    math per Arrow batch, ~60x the interpreted HOF argmin's throughput —
+    with the SAME bit pattern (dim-ordered elementwise accumulation ==
+    the chain fold; test_similarity pins arrow == catalyst exactly).
+    ``backend="catalyst"`` keeps the all-Column form: array_min over
+    structs against the broadcast codebook literal (the parity twin,
+    and the form that stays JVM-side for modest K*dim)."""
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    if backend == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        def emit(pdf, codes, mind):
+            # subspace-ordered chain, 0.0-seeded, elementwise float64 —
+            # identical bits to the Column fold. Rounding happens
+            # Spark-side below (F.round's BigDecimal HALF_UP; a numpy
+            # multiply-round-divide can land on the other side).
+            tot = np.zeros(len(codes), dtype="float64")
+            for s in range(m):
+                tot = tot + mind[:, s]
+            return pd.DataFrame({
+                v_id: pdf[v_id].values,
+                "codes": [",".join(str(int(j)) for j in row)
+                          for row in codes],
+                "distortion": tot,
+            })
+        raw = vectors.select(v_id, vec).mapInPandas(
+            _pq_assign_map(trainers, m, v_id, vec, emit),
+            schema=f"{v_id} long, codes string, distortion double")
+        return raw.select(
+            v_id, "codes", F.round("distortion", 6).alias("distortion"))
     d = dim // m
     cent = F.array(*[
         F.array(*[
@@ -338,12 +411,25 @@ def pq_codes(vectors: DataFrame, trainers: list[list[float]],
 
 def pq_code_array(vectors: DataFrame, trainers: list[list[float]],
                   m: int = 8, dim: int = EMB_DIM,
-                  v_id: str = "vec_id", vec: str = "e") -> DataFrame:
+                  v_id: str = "vec_id", vec: str = "e",
+                  backend: str = "arrow") -> DataFrame:
     """Same assignment as pq_codes but codes as ``array<int>`` — the
     join-ready shape ADC scans consume (pq_codes' string form exists for
-    the array-output hashing rule)."""
+    the array-output hashing rule). Same two backends, same bit-exact
+    kernel."""
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    if backend == "arrow":
+        import pandas as pd
+
+        def emit(pdf, codes, mind):
+            return pd.DataFrame({
+                v_id: pdf[v_id].values,
+                "codes": [[int(j) for j in row] for row in codes],
+            })
+        return vectors.select(v_id, vec).mapInPandas(
+            _pq_assign_map(trainers, m, v_id, vec, emit),
+            schema=f"{v_id} long, codes array<int>")
     d = dim // m
     cent = F.array(*[
         F.array(*[
@@ -401,14 +487,24 @@ def pq_adc_topk(code_table: DataFrame,
     with the oracle's chain order), so the plan is: code scan x
     broadcast queries -> fold over subspaces -> per-query top-k window.
     At 100 TB the scan reads 8-byte codes, not 256-byte vectors — a 32x
-    I/O reduction — and the only exchange is the per-query top-k."""
+    I/O reduction — and the only exchange is the per-query top-k.
+
+    The code table is MATERIALIZED (localCheckpoint) before the query
+    crossJoin — the CLAUDE.md giant-expression discipline: when codes is
+    a live pq_code_array projection, the ADC fold's 8 element_at(codes)
+    references each re-inline the full m x K argmin subtree per
+    (vector, query) candidate row (~41k interpreted multiply-adds/row;
+    the un-checkpointed form ran minutes at sf0.1 vs seconds). At scale
+    this materialization is not a workaround — the compressed code
+    table IS the stored ANN index ADC exists to scan (written once by
+    pq_code_array, read per query batch)."""
     d = dim // m
     spark = code_table.sparkSession
     qrows = [(int(qid), _adc_lut(list(map(float, qv)), trainers, m, d))
              for qid, qv in queries]
     qdf = spark.createDataFrame(
         qrows, "query_id long, lut array<array<double>>")
-    cand = code_table.crossJoin(F.broadcast(qdf)) \
+    cand = code_table.localCheckpoint().crossJoin(F.broadcast(qdf)) \
         .filter(F.col(v_id) != F.col("query_id"))
     adc = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),

@@ -6731,6 +6731,12 @@ def emb_pq_adc_topk(spark, sf_dir):
     trainers = [[float(x) for x in r["e"]] for r in rows]
     queries = [(int(r["vec_id"]), [float(x) for x in r["e"]])
                for r in v.filter(F.col("vec_id") % 50 == 0).collect()]
+    # Spread the assignment projection (m x K argmins per vector — the
+    # expensive part) across cores: a crawl-scale embedding table gets
+    # this from file-granular scan splits; the single-file test input
+    # would otherwise encode in ONE task. 256 B/vector through the
+    # exchange vs ~5k interpreted multiply-adds saved per vector.
+    v = v.repartition(spark.sparkContext.defaultParallelism)
     codes = pq_code_array(v, trainers, m=_PQ_M)
     return pq_adc_topk(codes, queries, trainers, k=5, m=_PQ_M)
 

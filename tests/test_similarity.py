@@ -135,6 +135,37 @@ def test_pq_trainer_self_codes(spark):
         assert r["distortion"] >= 0.0
 
 
+def test_pq_backends_bit_identical(spark):
+    """The arrow backend (numpy kernel, dim-ordered elementwise
+    accumulation) must reproduce the catalyst backend (HOF argmin over
+    the broadcast codebook literal) BIT-FOR-BIT: same codes (incl. tie
+    rule -> lowest j) and same distortion doubles, on random vectors and
+    on an engineered exact tie."""
+    import numpy as np
+
+    from geoutils_spark.operators.similarity import pq_code_array, pq_codes
+
+    rng = np.random.RandomState(11)
+    n, dim, m, k = 200, 64, 8, 17
+    V = rng.randn(n, dim)
+    trainers = [list(map(float, rng.randn(dim))) for _ in range(k)]
+    trainers.append(list(trainers[0]))  # duplicate centroid: exact tie
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(n)],
+        "vec_id long, e array<double>")
+    a = pq_codes(df, trainers, m=m, backend="arrow").orderBy("vec_id").collect()
+    c = pq_codes(df, trainers, m=m, backend="catalyst").orderBy("vec_id").collect()
+    for ra, rc in zip(a, c):
+        assert ra["codes"] == rc["codes"]
+        assert ra["distortion"] == rc["distortion"]
+    assert not any(str(k) in r["codes"].split(",") for r in a), \
+        "tie must break to the LOWER duplicate index"
+    aa = pq_code_array(df, trainers, m=m, backend="arrow").orderBy("vec_id").collect()
+    cc = pq_code_array(df, trainers, m=m, backend="catalyst").orderBy("vec_id").collect()
+    for ra, rc in zip(aa, cc):
+        assert list(ra["codes"]) == list(rc["codes"])
+
+
 def test_pq_adc_equals_reconstruction_distance(spark):
     """ADC(q, v) is BY DEFINITION ||q - reconstruct(v)||^2: the looked-up
     subspace distances are exact query-to-centroid distances. Check the
