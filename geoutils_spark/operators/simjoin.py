@@ -46,10 +46,16 @@ def jaccard_prefix_join(docs: DataFrame, k_shingle: int = 3,
                         text_col: str = "text") -> DataFrame:
     """All pairs (id_a < id_b) with shingle Jaccard >= t_num/t_den.
     Output: (id_a, id_b, inter_size, union_size) — integer-exact."""
+    # Materialize the shingle table once (localCheckpoint — the CLAUDE.md
+    # derived-column self-join discipline): it feeds FOUR consumers (the
+    # df-count explode, the prefix rebuild, and both verify join-back
+    # sides). Live lineage re-scans the corpus and re-shingles per
+    # consumer; at scale the (id, shingles) table is the one-pass
+    # intermediate every PPJoin implementation stores anyway.
     sh = docs.select(
         F.col(id_col).alias("id"),
         TA.word_shingles_col(F.col(text_col), k_shingle).alias("sh"),
-    )
+    ).localCheckpoint()
     ex = sh.select("id", F.explode("sh").alias("s"))
     dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     # rarity-ordered shingle list per doc, then the prefix slice:
