@@ -3461,6 +3461,13 @@ def text_lm_score(spark, sf_dir):
                 1, 15),
             16, 10).cast("long").alias("wfp"),
     )
+    # b2 feeds three consumers (both count aggs + the scoring join);
+    # persist it so the corpus is exploded and fingerprinted ONCE — the
+    # prepare_corpus stage-boundary discipline. DISK_ONLY: the bigram
+    # frame is ~1.5x corpus bytes, one write+read beats two extra
+    # scan+md5 passes at any scale.
+    from pyspark import StorageLevel
+    b2 = b2.persist(StorageLevel.DISK_ONLY)
     cnt2 = b2.groupBy("gfp").agg(F.count("*").cast("long").alias("c2"))
     cnt1 = b2.groupBy("wfp").agg(F.count("*").cast("long").alias("c1"))
     per = (
