@@ -123,11 +123,11 @@ def train_merges(vocab: DataFrame, n_merges: int) -> list[tuple[int, str, int]]:
     return merges
 
 
-def merges_sql(corpus_cte: str, n_merges: int,
-               top_words: int | None = None) -> str:
-    """DuckDB twin of word_counts + train_merges: ``n_merges`` unrolled
-    count/argmax/apply rounds over ``corpus_cte`` (must yield a ``text``
-    column). Returns rows (step, pair, n)."""
+def _training_ctes(corpus_cte: str, n_merges: int,
+                   top_words: int | None = None) -> str:
+    """The unrolled count/argmax/apply training rounds as a CTE-list
+    fragment (words, v1, p_i, b_i, v_{i+1}) — shared by the merge-table
+    twin (merges_sql) and the encoder twin (encode_docs_sql)."""
     cap = (f"ORDER BY n DESC, word ASC LIMIT {top_words}"
            if top_words is not None else "")
     parts = [f"""
@@ -153,6 +153,80 @@ def merges_sql(corpus_cte: str, n_merges: int,
       SELECT {apply_merge_sql('v.sym', 'b.pair')} AS sym, v.n
       FROM v{i} v CROSS JOIN b{i} b
     )""")
+    return ",".join(parts)
+
+
+def merges_sql(corpus_cte: str, n_merges: int,
+               top_words: int | None = None) -> str:
+    """DuckDB twin of word_counts + train_merges: ``n_merges`` unrolled
+    count/argmax/apply rounds over ``corpus_cte`` (must yield a ``text``
+    column). Returns rows (step, pair, n)."""
     union = " UNION ALL ".join(f"SELECT * FROM b{i}"
                                for i in range(1, n_merges + 1))
-    return "WITH " + ",".join(parts) + "\n    " + union
+    return ("WITH " + _training_ctes(corpus_cte, n_merges, top_words)
+            + "\n    " + union)
+
+
+# ---------------------------------------------------------------------------
+# Encoding: apply a trained merge list to documents (the tokenizer's
+# runtime half — training produces the merge table, this consumes it)
+# ---------------------------------------------------------------------------
+
+# Word-boundary sentinel inserted between words before character seeding.
+# Training is per-word (each vocab row IS one word), so no trained pair
+# ever contains it — merges therefore cannot cross word boundaries even
+# though encoding runs over the whole document string. U+001F never
+# occurs in extracted text (textextract strips control chars); sanitize
+# upstream if an exotic corpus could carry it.
+BOUNDARY = "\x1f"
+
+
+def encode_col(text: Column, merges: list[str]) -> Column:
+    """Spaced symbol string after applying ``merges`` IN TRAINED ORDER
+    (the standard BPE encode rule: merge priority = training step, each
+    application greedy left-to-right non-overlapping — identical
+    semantics to apply_merge_col because it IS apply_merge_col, folded).
+    Row-local codegen string ops, zero exchanges; 4 string passes per
+    merge over the doc. Decode tokens with ``split(.., ' ')`` dropping
+    BOUNDARY symbols."""
+    sym = chars_col(F.replace(text, F.lit(" "), F.lit(BOUNDARY)))
+    for pair in merges:
+        sym = apply_merge_col(sym, F.lit(pair))
+    return sym
+
+
+def token_count_col(sym: Column) -> Column:
+    """Token count of an encoded symbol string: symbols minus word
+    boundaries (empty-text rows count 0)."""
+    return F.size(F.filter(
+        F.split(sym, " "),
+        lambda t: (t != F.lit(BOUNDARY)) & (t != F.lit("")))).cast("long")
+
+
+def encode_docs_sql(docs_cte: str, n_merges: int,
+                    top_words: int | None = None) -> str:
+    """DuckDB twin of train-then-encode: the shared training CTEs pick
+    the same ``n_merges`` pairs, then each d_i round applies pair i to
+    every document (CROSS JOIN the 1-row b_i), exactly the fold
+    encode_col builds. Yields (doc_id, n_tokens, enc_md5) — the md5
+    makes the full encoded byte string hash-checked, not just counts.
+    Assumes the corpus supports all ``n_merges`` rounds (an early-stop
+    empty b_i would zero d_i; train_merges stops identically)."""
+    seed = chars_sql(f"replace(text, ' ', chr(31))")
+    parts = [_training_ctes(f"(SELECT text FROM {docs_cte})",
+                            n_merges, top_words)]
+    parts.append(f"""
+    d0 AS (SELECT doc_id, {seed} AS sym FROM {docs_cte})""")
+    for i in range(1, n_merges + 1):
+        parts.append(f"""
+    d{i} AS (
+      SELECT doc_id, {apply_merge_sql('d.sym', 'b.pair')} AS sym
+      FROM d{i - 1} d CROSS JOIN b{i} b
+    )""")
+    return ("WITH " + ",".join(parts) + f"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(sym, ' '),
+                                t -> t <> chr(31) AND t <> '')) AS BIGINT)
+             AS n_tokens,
+           md5(sym) AS enc_md5
+    FROM d{n_merges}""")

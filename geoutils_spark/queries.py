@@ -4710,6 +4710,33 @@ def text_bpe_merges(spark, sf_dir):
         "step long, pair string, n long")
 
 
+@register("text_bpe_encode",
+          BP.encode_docs_sql("documents", _BPE_MERGES,
+                             top_words=_BPE_TOPW))
+def text_bpe_encode(spark, sf_dir):
+    """BPE ENCODING — the tokenizer's runtime half (text_bpe_merges
+    trains the merge table; this applies it to every document, the
+    operation a 100-TB tokenization job actually runs on the scan).
+    Merges apply in trained-priority order, each greedy left-to-right
+    non-overlapping (operators/bpe.py encode_col — the same
+    apply_merge_col fold both training and the oracle use); a U+001F
+    word-boundary sentinel keeps merges inside words. Row-local codegen
+    string ops, zero exchanges; the bounded merge table rides in as 8
+    string literals (the broadcast-dim analog). Output is hash-checked
+    at the BYTE level: md5 of the full encoded symbol string, not just
+    token counts. The encode expression is evaluated twice per row
+    (count + md5 consumers) — a documented 2x constant, not a
+    per-window blowup."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = BP.word_counts(docs.select("text"), top_words=_BPE_TOPW)
+    merges = [p for _, p, _ in BP.train_merges(vocab, _BPE_MERGES)]
+    sym = BP.encode_col(F.col("text"), merges)
+    return docs.select(
+        "doc_id",
+        BP.token_count_col(sym).alias("n_tokens"),
+        F.md5(sym.cast("binary")).alias("enc_md5"))
+
+
 from geoutils_spark.functions import robots as RB  # noqa: E402
 
 _ROBOTS_TEMPLATES = [

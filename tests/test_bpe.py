@@ -65,3 +65,50 @@ def test_word_counts_cap_deterministic(spark):
         [(1, "z z z y y x w")], "i long, text string")
     vocab = B.word_counts(docs, top_words=2).collect()
     assert sorted((r["sym"], r["n"]) for r in vocab) == [("y", 2), ("z", 3)]
+
+
+def test_encode_applies_merges_in_order(spark):
+    # corpus 'ab ab abc': training picks 'a b' first (count 3), then
+    # 'ab c' (count 1). Encoding 'abc ab' must produce tokens
+    # [abc, ab] — the second merge builds ON the first's output, and
+    # the boundary sentinel keeps 'b a' (across the word gap) unmergeable
+    # even if it were in the table.
+    docs = spark.createDataFrame([(1, "ab ab abc")], "i long, text string")
+    merges = [p for _, p, _ in B.train_merges(B.word_counts(docs), 2)]
+    assert merges == ["a b", "ab c"]
+    enc = spark.createDataFrame(
+        [(1, "abc ab"), (2, ""), (3, "b a")], "doc_id long, text string"
+    ).select(
+        "doc_id",
+        B.encode_col(F.col("text"), merges).alias("sym"),
+        B.token_count_col(B.encode_col(F.col("text"), merges)).alias("n"))
+    got = {r["doc_id"]: (r["sym"], r["n"]) for r in enc.collect()}
+    assert got[1] == ("abc \x1f ab", 2)
+    assert got[2] == ("", 0)            # empty text -> zero tokens
+    # 'b a' spans the word boundary: stays two single-char tokens
+    assert got[3] == ("b \x1f a", 2)
+
+
+def test_encode_matches_vocab_training_rewrite(spark):
+    # Property: encoding a single word == the training-side vocabulary
+    # rewrite after the same merges (same apply_merge_col fold).
+    words = ["banana", "bandana", "cabana", "nab"]
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string")
+    merges = [p for _, p, _ in B.train_merges(B.word_counts(docs), 4)]
+    enc = docs.select(
+        "doc_id", B.encode_col(F.col("text"), merges).alias("sym")).collect()
+    from pyspark.sql import Row
+    vocab = spark.createDataFrame(
+        [Row(sym=" ".join(w), n=1) for w in words])
+    cur = vocab
+    for p in merges:
+        cur = cur.select(
+            B.apply_merge_col(F.col("sym"), F.lit(p)).alias("sym"), "n")
+    for r in enc:
+        assert r["sym"].replace(" ", "") == words[r["doc_id"]]
+    # exact per-word equality against the vocabulary rewrite:
+    by_word = {words[r["doc_id"]]: r["sym"] for r in enc}
+    for r in cur.collect():
+        w = r["sym"].replace(" ", "")
+        assert by_word[w] == r["sym"]
