@@ -148,6 +148,8 @@ EXTRA = [
     "geo_convex_hull",
     "rel_weighted_sample",
     "web_label_propagation",
+    # r5 closing session
+    "text_bpe_encode",
 ]
 
 
