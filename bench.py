@@ -150,6 +150,7 @@ EXTRA = [
     "web_label_propagation",
     # r5 closing session
     "text_bpe_encode",
+    "geo_track_segments",
 ]
 
 

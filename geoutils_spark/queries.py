@@ -6943,3 +6943,108 @@ def web_label_propagation(spark, sf_dir):
         (F.col("doc_id") % 101).alias("src"),
         ((F.col("doc_id") * 7 + 3) % 101).alias("dst")).distinct()
     return label_propagation(edges, rounds=_LPA_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# Trajectory segmentation (GPS tracks): the spatiotemporal member of the
+# sessionize family — per-entity ordered points split into movement
+# segments on EITHER a time gap or a distance jump.
+# ---------------------------------------------------------------------------
+
+_TRK_GAP_US = 4 * 3600 * 1_000_000   # 4 h time gap opens a new segment
+_TRK_JUMP_MM = 3_000_000             # 3 km step jump opens a new segment
+
+_TRK_PTS_SQL = f"""
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             {K.key_lon_sql('event_id')} AS lon,
+             {K.key_lat_sql('event_id')} AS lat
+      FROM events
+"""
+
+
+@register("geo_track_segments", f"""
+    WITH pts AS ({_TRK_PTS_SQL}),
+    st AS (
+      SELECT user_id, event_id, ts_us, lon, lat,
+             LAG(ts_us) OVER w AS pts_us,
+             LAG(lon) OVER w AS plon,
+             LAG(lat) OVER w AS plat
+      FROM pts
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    sm AS (
+      SELECT *, CASE WHEN pts_us IS NULL THEN CAST(0 AS BIGINT)
+                     ELSE CAST(ROUND(
+                       {haversine_m_sql('plon', 'plat', 'lon', 'lat')}
+                       * 1000) AS BIGINT) END AS step_mm
+      FROM st
+    ),
+    fl AS (
+      SELECT *, CASE WHEN pts_us IS NULL
+                       OR ts_us - pts_us > {_TRK_GAP_US}
+                       OR step_mm > {_TRK_JUMP_MM}
+                     THEN 1 ELSE 0 END AS brk
+      FROM sm
+    ),
+    sg AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS seg
+      FROM fl
+    )
+    SELECT user_id, CAST(seg AS BIGINT) AS seg_id,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS dur_us,
+           CAST(SUM(CASE WHEN brk = 1 THEN 0 ELSE step_mm END) AS BIGINT)
+             AS path_mm
+    FROM sg GROUP BY user_id, seg
+    """)
+def geo_track_segments(spark, sf_dir):
+    """GPS-track segmentation — the spatiotemporal sessionizer: each
+    user's time-ordered points split into movement segments wherever
+    the time gap exceeds 4 h OR the step jump exceeds 3 km (teleports =
+    data glitches / new trips), with per-segment point count, duration
+    and path length. Parity discipline: step lengths quantize to
+    INTEGER millimeters before the per-segment sum, so float addition
+    order cannot drift the hash (the DECIMAL-sum rule); durations are
+    epoch-microsecond BIGINTs; the haversine/lon/lat doubles come from
+    the shared structural twins. Segment-opening steps are excluded
+    from path length (a segment's first point contributes 0). Plan:
+    ONE user-keyed exchange serves both windows and the final
+    aggregation (same partitioning). Per-entity windows are sequential
+    by nature — rel_sessionize's skew note applies: a 10^9-point bot
+    track pre-splits by time bucket into two-level segmentation before
+    this operator at crawl scale."""
+    pts = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        # parquet ts is TIMESTAMP_NTZ; the cast resolves it in the
+        # session tz (UTC in the harness) == DuckDB's naive epoch_us
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        K.key_lon_col(F.col("event_id")).alias("lon"),
+        K.key_lat_col(F.col("event_id")).alias("lat"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    st = pts.select(
+        "user_id", "ts_us", "event_id",
+        F.lag("ts_us").over(w).alias("pts_us"),
+        F.lag("lon").over(w).alias("plon"),
+        F.lag("lat").over(w).alias("plat"),
+        "lon", "lat")
+    step = F.when(F.col("pts_us").isNull(), F.lit(0).cast("long")) \
+        .otherwise(F.round(haversine_m_col(
+            F.col("plon"), F.col("plat"), F.col("lon"), F.col("lat"))
+            * 1000).cast("long"))
+    sm = st.withColumn("step_mm", step)
+    brk = F.when(F.col("pts_us").isNull()
+                 | (F.col("ts_us") - F.col("pts_us") > _TRK_GAP_US)
+                 | (F.col("step_mm") > _TRK_JUMP_MM), 1).otherwise(0)
+    fl = sm.withColumn("brk", brk)
+    sg = fl.withColumn(
+        "seg", F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    return (sg.groupBy("user_id", F.col("seg").cast("long").alias("seg_id"))
+            .agg(F.count("*").cast("long").alias("n_points"),
+                 (F.max("ts_us") - F.min("ts_us")).cast("long")
+                 .alias("dur_us"),
+                 F.sum(F.when(F.col("brk") == 1, 0)
+                       .otherwise(F.col("step_mm"))).cast("long")
+                 .alias("path_mm")))

@@ -131,3 +131,84 @@ def test_destination_roundtrip(spark):
                               F.lit(90.0), F.lit(50000.0))
     v = far.select(glon.alias("g")).collect()[0]["g"]
     assert -180.0 <= v < 180.0 and v < -179.5  # wrapped across the seam
+
+
+def test_track_segments_hand_replay(spark):
+    """geo_track_segments on a hand-built track: a user walks three
+    close points (one segment), teleports 5+ km (distance break), walks
+    two more, then goes silent past the 4 h gap (time break). Counts,
+    durations and integer-mm path lengths must match the hand replay;
+    the opening step of each segment contributes 0 path."""
+    import math
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from geoutils_spark.queries import SPARK_QUERIES
+    from geoutils_spark.functions.keys import key_lon_col, key_lat_col
+    from geoutils_spark.functions.geodesy import haversine_m_col
+
+    # pick event_ids whose synthesized coords we then read back, so the
+    # expectation derives from the SAME kernels (independent replay of
+    # the segmentation logic, not of the coordinate synthesis)
+    ids = [10, 11, 12, 13, 14, 15]
+    base = 1_700_000_000_000_000  # epoch us
+    minute = 60_000_000
+    rows = [
+        (ids[0], base + 0 * minute, 5),
+        (ids[1], base + 1 * minute, 5),
+        (ids[2], base + 2 * minute, 5),
+        (ids[3], base + 3 * minute, 5),
+        (ids[4], base + 4 * minute, 5),
+        # 5-hour silence -> time break regardless of distance
+        (ids[5], base + 4 * minute + 5 * 3600 * 1_000_000, 5),
+    ]
+    tmp = tempfile.mkdtemp()
+    df = spark.createDataFrame(
+        [(e, u) for e, t, u in rows], "event_id long, user_id long"
+    ).select(
+        "event_id", "user_id",
+        F.timestamp_micros(
+            F.lit(0) + F.element_at(
+                F.create_map(*[F.lit(x) for pair in
+                               [(e, t) for e, t, _ in rows]
+                               for x in pair]),
+                F.col("event_id"))).cast("timestamp_ntz").alias("ts"),
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"), F.lit("{}").alias("props"))
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+
+    # hand replay: per-step distances from the same haversine kernel
+    pts = spark.createDataFrame([(e,) for e in ids], "event_id long").select(
+        "event_id", key_lon_col(F.col("event_id")).alias("lon"),
+        key_lat_col(F.col("event_id")).alias("lat")).collect()
+    coord = {r["event_id"]: (r["lon"], r["lat"]) for r in pts}
+    steps = {}
+    for a, b in zip(ids, ids[1:]):
+        d = spark.range(1).select(haversine_m_col(
+            F.lit(coord[a][0]), F.lit(coord[a][1]),
+            F.lit(coord[b][0]), F.lit(coord[b][1])).alias("d")).collect()
+        steps[(a, b)] = int(round(d[0]["d"] * 1000))
+
+    out = {(r["user_id"], r["seg_id"]): r for r in
+           SPARK_QUERIES["geo_track_segments"](spark, tmp).collect()}
+    # replay segmentation: breaks where step > 3km or gap > 4h
+    segs, cur = [], [ids[0]]
+    for (a, b) in zip(ids, ids[1:]):
+        gap_us = dict((e, t) for e, t, _ in rows)[b] - \
+            dict((e, t) for e, t, _ in rows)[a]
+        if steps[(a, b)] > 3_000_000 or gap_us > 4 * 3600 * 1_000_000:
+            segs.append(cur)
+            cur = [b]
+        else:
+            cur.append(b)
+    segs.append(cur)
+    assert len(out) == len(segs)
+    tsof = dict((e, t) for e, t, _ in rows)
+    for i, seg in enumerate(segs, start=1):
+        r = out[(5, i)]
+        assert r["n_points"] == len(seg)
+        assert r["dur_us"] == tsof[seg[-1]] - tsof[seg[0]]
+        want_path = sum(steps[(a, b)] for a, b in zip(seg, seg[1:]))
+        assert r["path_mm"] == want_path
