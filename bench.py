@@ -151,6 +151,7 @@ EXTRA = [
     # r5 closing session
     "text_bpe_encode",
     "geo_track_segments",
+    "geo_od_matrix",
 ]
 
 

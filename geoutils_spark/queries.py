@@ -6962,10 +6962,14 @@ _TRK_PTS_SQL = f"""
 """
 
 
-@register("geo_track_segments", f"""
-    WITH pts AS ({_TRK_PTS_SQL}),
+# the lag/flag/running-sum segmentation chain through `sg`, shared by
+# the segment-stats and OD-matrix twins (rn = per-user sequence number,
+# the integer arg_min/arg_max ordering key for segment endpoints)
+_TRK_SG_SQL = f"""
+    pts AS ({_TRK_PTS_SQL}),
     st AS (
       SELECT user_id, event_id, ts_us, lon, lat,
+             ROW_NUMBER() OVER w AS rn,
              LAG(ts_us) OVER w AS pts_us,
              LAG(lon) OVER w AS plon,
              LAG(lat) OVER w AS plat
@@ -6992,6 +6996,45 @@ _TRK_PTS_SQL = f"""
                                ROWS UNBOUNDED PRECEDING) AS seg
       FROM fl
     )
+"""
+
+
+def _track_sg(spark, sf_dir):
+    """Shared Spark half of _TRK_SG_SQL: events -> synthesized points ->
+    lag features -> integer-mm steps -> break flags -> running segment
+    ids. One user-keyed exchange; every consumer groups on (user_id,
+    seg) so the partitioning is reused downstream."""
+    pts = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        # parquet ts is TIMESTAMP_NTZ; the cast resolves it in the
+        # session tz (UTC in the harness) == DuckDB's naive epoch_us
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        K.key_lon_col(F.col("event_id")).alias("lon"),
+        K.key_lat_col(F.col("event_id")).alias("lat"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    st = pts.select(
+        "user_id", "ts_us", "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.lag("ts_us").over(w).alias("pts_us"),
+        F.lag("lon").over(w).alias("plon"),
+        F.lag("lat").over(w).alias("plat"),
+        "lon", "lat")
+    step = F.when(F.col("pts_us").isNull(), F.lit(0).cast("long")) \
+        .otherwise(F.round(haversine_m_col(
+            F.col("plon"), F.col("plat"), F.col("lon"), F.col("lat"))
+            * 1000).cast("long"))
+    sm = st.withColumn("step_mm", step)
+    brk = F.when(F.col("pts_us").isNull()
+                 | (F.col("ts_us") - F.col("pts_us") > _TRK_GAP_US)
+                 | (F.col("step_mm") > _TRK_JUMP_MM), 1).otherwise(0)
+    fl = sm.withColumn("brk", brk)
+    return fl.withColumn(
+        "seg", F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+
+@register("geo_track_segments", f"""
+    WITH {_TRK_SG_SQL}
     SELECT user_id, CAST(seg AS BIGINT) AS seg_id,
            CAST(COUNT(*) AS BIGINT) AS n_points,
            CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS dur_us,
@@ -7015,32 +7058,7 @@ def geo_track_segments(spark, sf_dir):
     by nature — rel_sessionize's skew note applies: a 10^9-point bot
     track pre-splits by time bucket into two-level segmentation before
     this operator at crawl scale."""
-    pts = _t(spark, sf_dir, "events").select(
-        "user_id", "event_id",
-        # parquet ts is TIMESTAMP_NTZ; the cast resolves it in the
-        # session tz (UTC in the harness) == DuckDB's naive epoch_us
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
-        K.key_lon_col(F.col("event_id")).alias("lon"),
-        K.key_lat_col(F.col("event_id")).alias("lat"))
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    st = pts.select(
-        "user_id", "ts_us", "event_id",
-        F.lag("ts_us").over(w).alias("pts_us"),
-        F.lag("lon").over(w).alias("plon"),
-        F.lag("lat").over(w).alias("plat"),
-        "lon", "lat")
-    step = F.when(F.col("pts_us").isNull(), F.lit(0).cast("long")) \
-        .otherwise(F.round(haversine_m_col(
-            F.col("plon"), F.col("plat"), F.col("lon"), F.col("lat"))
-            * 1000).cast("long"))
-    sm = st.withColumn("step_mm", step)
-    brk = F.when(F.col("pts_us").isNull()
-                 | (F.col("ts_us") - F.col("pts_us") > _TRK_GAP_US)
-                 | (F.col("step_mm") > _TRK_JUMP_MM), 1).otherwise(0)
-    fl = sm.withColumn("brk", brk)
-    sg = fl.withColumn(
-        "seg", F.sum("brk").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sg = _track_sg(spark, sf_dir)
     return (sg.groupBy("user_id", F.col("seg").cast("long").alias("seg_id"))
             .agg(F.count("*").cast("long").alias("n_points"),
                  (F.max("ts_us") - F.min("ts_us")).cast("long")
@@ -7048,3 +7066,43 @@ def geo_track_segments(spark, sf_dir):
                  F.sum(F.when(F.col("brk") == 1, 0)
                        .otherwise(F.col("step_mm"))).cast("long")
                  .alias("path_mm")))
+
+
+_OD_LEVEL = 15
+
+
+@register("geo_od_matrix", f"""
+    WITH {_TRK_SG_SQL},
+    sgc AS (
+      SELECT *, {C.cell_sql('lon', 'lat', _OD_LEVEL)} AS cell_id FROM sg
+    ),
+    od AS (
+      SELECT user_id, seg,
+             arg_min(cell_id, rn) AS o_cell,
+             arg_max(cell_id, rn) AS d_cell
+      FROM sgc GROUP BY user_id, seg
+    )
+    SELECT o_cell, d_cell,
+           CAST(COUNT(*) AS BIGINT) AS n_trips,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM od GROUP BY o_cell, d_cell
+    """)
+def geo_od_matrix(spark, sf_dir):
+    """Origin-destination flow matrix over the segmented tracks — the
+    mobility-analytics aggregate OD studies run: each movement segment
+    contributes one trip from its first point's level-15 cell to its
+    last point's, counted per (origin, destination) cell pair with
+    distinct-user support. Endpoints select by the per-user sequence
+    number rn (integer arg_min/arg_max — no float or timestamp tie
+    ambiguity); stationary segments land on the matrix diagonal. Plan:
+    the shared user-keyed segmentation exchange, a (user, seg) agg that
+    REUSES that partitioning, then one bounded exchange on the cell
+    pair (matrix size = occupied cell pairs, << corpus)."""
+    sg = _track_sg(spark, sf_dir)
+    sgc = C.with_cell(sg, "lon", "lat", _OD_LEVEL, "cell_id")
+    od = sgc.groupBy("user_id", "seg").agg(
+        F.min_by("cell_id", F.col("rn")).alias("o_cell"),
+        F.max_by("cell_id", F.col("rn")).alias("d_cell"))
+    return (od.groupBy("o_cell", "d_cell")
+            .agg(F.count("*").cast("long").alias("n_trips"),
+                 F.countDistinct("user_id").cast("long").alias("n_users")))

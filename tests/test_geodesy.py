@@ -212,3 +212,24 @@ def test_track_segments_hand_replay(spark):
         assert r["dur_us"] == tsof[seg[-1]] - tsof[seg[0]]
         want_path = sum(steps[(a, b)] for a, b in zip(seg, seg[1:]))
         assert r["path_mm"] == want_path
+
+
+def test_od_matrix_endpoints(spark):
+    """geo_od_matrix invariants on sf0.001 events: total trips == total
+    segments (every segment contributes exactly one OD pair), n_users
+    bounded by n_trips, and each endpoint cell decodes to a coordinate
+    inside the synthesis extents."""
+    from pyspark.sql import functions as F
+
+    from geoutils_spark.queries import SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    od = SPARK_QUERIES["geo_od_matrix"](spark, sf).collect()
+    segs = SPARK_QUERIES["geo_track_segments"](spark, sf).count()
+    assert sum(r["n_trips"] for r in od) == segs
+    assert all(1 <= r["n_users"] <= r["n_trips"] for r in od)
+    from geoutils_spark.functions import cells as C
+    cells = {r["o_cell"] for r in od} | {r["d_cell"] for r in od}
+    dec = spark.createDataFrame([(c,) for c in cells], "cell_id long")
+    for r in C.with_cell_center(dec, "cell_id", 15, "clon", "clat").collect():
+        assert -0.2 < r["clon"] < 0.1 and 51.4 < r["clat"] < 51.6
