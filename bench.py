@@ -152,6 +152,7 @@ EXTRA = [
     "text_bpe_encode",
     "geo_track_segments",
     "geo_od_matrix",
+    "geo_geofence_dwell",
 ]
 
 

@@ -7106,3 +7106,69 @@ def geo_od_matrix(spark, sf_dir):
     return (od.groupBy("o_cell", "d_cell")
             .agg(F.count("*").cast("long").alias("n_trips"),
                  F.countDistinct("user_id").cast("long").alias("n_users")))
+
+
+_DWELL_MIN_US = 3600 * 1_000_000   # visits shorter than 1 h don't count
+
+
+@register("geo_geofence_dwell", f"""
+    WITH pts AS ({_TRK_PTS_SQL}),
+    seqd AS (
+      SELECT user_id, ts_us, lon, lat,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id) AS rn
+      FROM pts
+    ),
+    grid AS ({_grid_sql()}),
+    inz AS (
+      SELECT p.user_id, p.ts_us, p.rn, g.way_id
+      FROM seqd p JOIN grid g
+        ON p.lon >= g.minx AND p.lon < g.maxx
+       AND p.lat >= g.miny AND p.lat < g.maxy
+    ),
+    isl AS (
+      SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY user_id, way_id
+                                        ORDER BY rn) AS grp
+      FROM inz
+    )
+    SELECT user_id, way_id,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(MIN(ts_us) AS BIGINT) AS enter_us,
+           CAST(MAX(ts_us) AS BIGINT) AS exit_us
+    FROM isl GROUP BY user_id, way_id, grp
+    HAVING COUNT(*) >= 2
+       AND MAX(ts_us) - MIN(ts_us) >= {_DWELL_MIN_US}
+    """)
+def geo_geofence_dwell(spark, sf_dir):
+    """Geofence dwell detection — the alerting primitive fleet/retail
+    analytics runs on tracks: per (user, zone), every VISIT (a maximal
+    run of consecutive track points inside the same zone — the
+    gaps-and-islands rn - row_number() trick, so leaving and returning
+    opens a new visit) lasting >= 1 h with >= 2 points, with enter/exit
+    epoch-us timestamps. Zone assignment goes through the FULL engine
+    PIP path (covering cells -> broadcast cell equi-join -> exact ray
+    cast); the axis-aligned fixture zones make the oracle's bbox
+    predicates exactly equal (the geo_spatial_join parity argument).
+    Plan: zone dim broadcast (points never shuffle for the join), then
+    one user-keyed exchange shared by the island window and the visit
+    agg. Integer-only outputs."""
+    pts = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        K.key_lon_col(F.col("event_id")).alias("lon"),
+        K.key_lat_col(F.col("event_id")).alias("lat"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seqd = pts.withColumn("rn", F.row_number().over(w))
+    polys = fixtures.polygons_df(spark).filter(F.col("kind") == "building")
+    inz = spatial_join(seqd, polys, level=15,
+                       point_cols=("user_id", "ts_us", "rn"))
+    wz = Window.partitionBy("user_id", "way_id").orderBy("rn")
+    isl = inz.withColumn("grp", F.col("rn") - F.row_number().over(wz))
+    return (isl.groupBy("user_id", "way_id", "grp")
+            .agg(F.count("*").cast("long").alias("n_points"),
+                 F.min("ts_us").cast("long").alias("enter_us"),
+                 F.max("ts_us").cast("long").alias("exit_us"))
+            .filter((F.col("n_points") >= 2)
+                    & (F.col("exit_us") - F.col("enter_us")
+                       >= _DWELL_MIN_US))
+            .drop("grp"))

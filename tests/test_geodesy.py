@@ -233,3 +233,52 @@ def test_od_matrix_endpoints(spark):
     dec = spark.createDataFrame([(c,) for c in cells], "cell_id long")
     for r in C.with_cell_center(dec, "cell_id", 15, "clon", "clat").collect():
         assert -0.2 < r["clon"] < 0.1 and 51.4 < r["clat"] < 51.6
+
+
+def test_geofence_dwell_python_replay(spark):
+    """Independent pure-python replay of geo_geofence_dwell at sf0.001:
+    derive the same synthesized points, assign zones by half-open bbox,
+    find maximal consecutive runs per (user, zone), keep runs with
+    >= 2 points and >= 1 h dwell — the result sets must match exactly
+    (incl. gaps-and-islands visit boundaries)."""
+    from pyspark.sql import functions as F
+
+    from geoutils_spark.queries import SPARK_QUERIES, _DWELL_MIN_US
+    from geoutils_spark.functions.keys import key_lon_col, key_lat_col
+    from geoutils_spark.sources import fixtures
+
+    sf = "/root/testdata/sf0.001"
+    pts = spark.read.parquet(sf + "/events.parquet").select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        key_lon_col(F.col("event_id")).alias("lon"),
+        key_lat_col(F.col("event_id")).alias("lat")).collect()
+    zones = [(r["way_id"], r["bbox"]) for r in
+             fixtures.polygons_df(spark)
+             .filter(F.col("kind") == "building").collect()]
+
+    by_user = {}
+    for r in sorted(pts, key=lambda r: (r["user_id"], r["ts_us"],
+                                        r["event_id"])):
+        zid = None
+        for wid, b in zones:
+            if (b["minx"] <= r["lon"] < b["maxx"]
+                    and b["miny"] <= r["lat"] < b["maxy"]):
+                zid = wid
+                break
+        by_user.setdefault(r["user_id"], []).append((r["ts_us"], zid))
+    want = set()
+    for uid, seq in by_user.items():
+        run_zone, run = None, []
+        for ts, zid in seq + [(None, None)]:
+            if zid is not None and zid == run_zone:
+                run.append(ts)
+                continue
+            if run_zone is not None and len(run) >= 2 \
+                    and run[-1] - run[0] >= _DWELL_MIN_US:
+                want.add((uid, run_zone, len(run), run[0], run[-1]))
+            run_zone, run = zid, ([ts] if zid is not None else [])
+    got = {(r["user_id"], r["way_id"], r["n_points"],
+            r["enter_us"], r["exit_us"])
+           for r in SPARK_QUERIES["geo_geofence_dwell"](spark, sf).collect()}
+    assert got == want and len(want) > 0
