@@ -153,6 +153,7 @@ EXTRA = [
     "geo_track_segments",
     "geo_od_matrix",
     "geo_geofence_dwell",
+    "geo_colocation_pairs",
 ]
 
 

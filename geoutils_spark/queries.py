@@ -7172,3 +7172,60 @@ def geo_geofence_dwell(spark, sf_dir):
                     & (F.col("exit_us") - F.col("enter_us")
                        >= _DWELL_MIN_US))
             .drop("grp"))
+
+
+_COLOC_LEVEL = 15                    # ~1.2 km cells in the fixture band
+_COLOC_BUCKET_US = 1800 * 1_000_000  # 30-min co-presence buckets
+
+
+@register("geo_colocation_pairs", f"""
+    WITH pts AS ({_TRK_PTS_SQL}),
+    blk AS (
+      SELECT DISTINCT user_id,
+             {C.cell_sql('lon', 'lat', _COLOC_LEVEL)} AS cell_id,
+             ts_us // {_COLOC_BUCKET_US} AS bucket
+      FROM pts
+    ),
+    pairs AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b
+      FROM blk a JOIN blk b
+        ON a.cell_id = b.cell_id AND a.bucket = b.bucket
+       AND a.user_id < b.user_id
+    )
+    SELECT user_a, user_b, CAST(COUNT(*) AS BIGINT) AS n_cooccur
+    FROM pairs GROUP BY user_a, user_b
+    HAVING COUNT(*) >= 2
+    """)
+def geo_colocation_pairs(spark, sf_dir):
+    """Co-location pairs — the contact-tracing / companion-detection
+    primitive: user pairs repeatedly observed in the SAME level-15 cell
+    during the SAME 30-minute bucket (>= 2 distinct co-occurrences, so
+    one chance crossing doesn't pair). The space-time block key
+    (cell, bucket) is the blocking discipline every proximity join at
+    scale uses: the self-join is an equi-join on the block, never a
+    distance cross product; DISTINCT per (user, block) first, so a user
+    pinging 100x in one block contributes ONE co-presence (and block
+    size is bounded by users-per-cell-per-half-hour, not event rate —
+    the hot-venue key salts like any equi-join key; AQE skew-split
+    covers the stadium case). Integer-only outputs; ids-only join rows
+    — the per-user observation payload never moves."""
+    pts = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        K.key_lon_col(F.col("event_id")).alias("lon"),
+        K.key_lat_col(F.col("event_id")).alias("lat"))
+    blk = C.with_cell(pts, "lon", "lat", _COLOC_LEVEL, "cell_id").select(
+        "user_id", "cell_id",
+        # integer div, not /-then-cast: a double quotient that lands an
+        # ulp under an exact multiple would truncate into the previous
+        # bucket while DuckDB's // stays exact
+        F.expr(f"ts_us div {_COLOC_BUCKET_US}").alias("bucket")).distinct()
+    a, b = blk.alias("a"), blk.alias("b")
+    pairs = a.join(b, (F.col("a.cell_id") == F.col("b.cell_id"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.user_id") < F.col("b.user_id")))
+    return (pairs.select(F.col("a.user_id").alias("user_a"),
+                         F.col("b.user_id").alias("user_b"))
+            .groupBy("user_a", "user_b")
+            .agg(F.count("*").cast("long").alias("n_cooccur"))
+            .filter(F.col("n_cooccur") >= 2))

@@ -282,3 +282,42 @@ def test_geofence_dwell_python_replay(spark):
             r["enter_us"], r["exit_us"])
            for r in SPARK_QUERIES["geo_geofence_dwell"](spark, sf).collect()}
     assert got == want and len(want) > 0
+
+
+def test_colocation_blocking_and_dedup(spark):
+    """geo_colocation_pairs on sf0.001: (a) pair counts never exceed the
+    number of distinct (cell, bucket) blocks both users share — the
+    per-(user, block) DISTINCT collapses repeat pings; (b) every
+    reported pair shares >= 2 blocks in an independent python replay;
+    (c) ordering invariant user_a < user_b."""
+    from pyspark.sql import functions as F
+
+    from geoutils_spark.queries import (
+        SPARK_QUERIES, _COLOC_BUCKET_US, _COLOC_LEVEL)
+    from geoutils_spark.functions.keys import key_lon_col, key_lat_col
+    from geoutils_spark.functions import cells as C
+
+    sf = "/root/testdata/sf0.001"
+    pts = spark.read.parquet(sf + "/events.parquet").select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        key_lon_col(F.col("event_id")).alias("lon"),
+        key_lat_col(F.col("event_id")).alias("lat"))
+    blk = C.with_cell(pts, "lon", "lat", _COLOC_LEVEL, "cell_id").select(
+        "user_id", "cell_id",
+        F.expr(f"ts_us div {_COLOC_BUCKET_US}").alias("bucket")).collect()
+    by_user = {}
+    for r in blk:
+        by_user.setdefault(r["user_id"], set()).add(
+            (r["cell_id"], r["bucket"]))
+    want = {}
+    users = sorted(by_user)
+    for i, ua in enumerate(users):
+        for ub in users[i + 1:]:
+            shared = len(by_user[ua] & by_user[ub])
+            if shared >= 2:
+                want[(ua, ub)] = shared
+    got = {(r["user_a"], r["user_b"]): r["n_cooccur"] for r in
+           SPARK_QUERIES["geo_colocation_pairs"](spark, sf).collect()}
+    assert got == want
+    assert all(a < b for a, b in got)
