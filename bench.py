@@ -154,6 +154,7 @@ EXTRA = [
     "geo_od_matrix",
     "geo_geofence_dwell",
     "geo_colocation_pairs",
+    "geo_st_cube",
 ]
 
 

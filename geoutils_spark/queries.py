@@ -7229,3 +7229,54 @@ def geo_colocation_pairs(spark, sf_dir):
             .groupBy("user_a", "user_b")
             .agg(F.count("*").cast("long").alias("n_cooccur"))
             .filter(F.col("n_cooccur") >= 2))
+
+
+_STC_LEVEL = 14
+_STC_HOUR_US = 3600 * 1_000_000
+# the aggregation text shared verbatim by both engines (the
+# rel_grouping_sets dialect-portability discipline) — inputs are a
+# (user_id, cell_id, hr) relation named stc_base in both
+_STC_AGG_SQL = """
+    SELECT COALESCE(cell_id, -1) AS cell_id,
+           COALESCE(hr, -1) AS hr,
+           CAST(GROUPING(cell_id) AS BIGINT) AS g_cell,
+           CAST(GROUPING(hr) AS BIGINT) AS g_hr,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM stc_base
+    GROUP BY GROUPING SETS ((cell_id, hr), (cell_id), (hr), ())
+"""
+
+
+@register("geo_st_cube", f"""
+    WITH pts AS ({_TRK_PTS_SQL}),
+    stc_base AS (
+      SELECT user_id,
+             {C.cell_sql('lon', 'lat', _STC_LEVEL)} AS cell_id,
+             ts_us // {_STC_HOUR_US} AS hr
+      FROM pts
+    )
+    {_STC_AGG_SQL}
+    """)
+def geo_st_cube(spark, sf_dir):
+    """Space-time cube — the hypertable rollup over the event points:
+    (level-14 cell x hour) activity counts plus both marginals and the
+    grand total in ONE hash-agg pass (GROUPING SETS expand map-side, so
+    the scan runs once and partial aggregation stays intact — four
+    separate GROUP BYs would scan four times). The aggregation SQL text
+    is shared VERBATIM between Spark and the oracle
+    (rel_grouping_sets's dialect-portability discipline); cell ids come
+    from the engine encoder on the Spark side and the bit-math twins in
+    the oracle; hour buckets are integer div. GROUPING() flags
+    disambiguate the set-produced NULLs (-1 sentinels). Distinct-user
+    support rides the same pass."""
+    pts = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        K.key_lon_col(F.col("event_id")).alias("lon"),
+        K.key_lat_col(F.col("event_id")).alias("lat"))
+    base = C.with_cell(pts, "lon", "lat", _STC_LEVEL, "cell_id").select(
+        "user_id", "cell_id",
+        F.expr(f"ts_us div {_STC_HOUR_US}").alias("hr"))
+    base.createOrReplaceTempView("stc_base")
+    return spark.sql(_STC_AGG_SQL)

@@ -321,3 +321,33 @@ def test_colocation_blocking_and_dedup(spark):
            SPARK_QUERIES["geo_colocation_pairs"](spark, sf).collect()}
     assert got == want
     assert all(a < b for a, b in got)
+
+
+def test_st_cube_marginals_consistent(spark):
+    """The space-time cube's marginals must re-aggregate exactly from
+    the finest granularity: per-cell totals == sum of that cell's
+    (cell, hr) rows, per-hour likewise, grand total == sum of all;
+    single-pass GROUPING SETS may not drift from what four separate
+    GROUP BYs would produce."""
+    from geoutils_spark.queries import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["geo_st_cube"](spark, "/root/testdata/sf0.001") \
+        .collect()
+    fine = [r for r in rows if r["g_cell"] == 0 and r["g_hr"] == 0]
+    bycell = {r["cell_id"]: r for r in rows
+              if r["g_cell"] == 0 and r["g_hr"] == 1}
+    byhr = {r["hr"]: r for r in rows if r["g_cell"] == 1 and r["g_hr"] == 0}
+    total = [r for r in rows if r["g_cell"] == 1 and r["g_hr"] == 1]
+    assert len(total) == 1
+    assert total[0]["n_events"] == sum(r["n_events"] for r in fine)
+    from collections import defaultdict
+    cs, hs = defaultdict(int), defaultdict(int)
+    for r in fine:
+        cs[r["cell_id"]] += r["n_events"]
+        hs[r["hr"]] += r["n_events"]
+    assert {c: r["n_events"] for c, r in bycell.items()} == dict(cs)
+    assert {h: r["n_events"] for h, r in byhr.items()} == dict(hs)
+    # distinct users: marginal >= max over children, <= sum
+    for c, r in bycell.items():
+        kids = [x["n_users"] for x in fine if x["cell_id"] == c]
+        assert max(kids) <= r["n_users"] <= sum(kids)
