@@ -155,6 +155,7 @@ EXTRA = [
     "geo_geofence_dwell",
     "geo_colocation_pairs",
     "geo_st_cube",
+    "rel_anomaly_hours",
 ]
 
 

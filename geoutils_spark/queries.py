@@ -7280,3 +7280,60 @@ def geo_st_cube(spark, sf_dir):
         F.expr(f"ts_us div {_STC_HOUR_US}").alias("hr"))
     base.createOrReplaceTempView("stc_base")
     return spark.sql(_STC_AGG_SQL)
+
+
+@register("rel_anomaly_hours", f"""
+    WITH hrs AS (
+      SELECT event_type, epoch_us(ts) // {_STC_HOUR_US} AS hr,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, hr
+    ),
+    trail AS (
+      SELECT event_type, hr, c,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(COALESCE(SUM(c) OVER w, 0) AS BIGINT) AS s,
+             CAST(COALESCE(SUM(c * c) OVER w, 0) AS BIGINT) AS ss
+      FROM hrs
+      WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hr, c, n, s,
+           (n * c - s) AS spike_num,
+           (9 * (n * ss - s * s)) AS spike_den_sq
+    FROM trail
+    WHERE n >= 12 AND n * c - s > 0
+      AND (n * c - s) * (n * c - s) > 9 * (n * ss - s * s)
+    """)
+def rel_anomaly_hours(spark, sf_dir):
+    """Traffic-spike detection with EXACT integer algebra — the
+    monitoring op every ingest pipeline runs, made hash-provable: an
+    hour is a spike when its count exceeds the trailing-24-observed-
+    hours mean by 3 standard deviations. The float z-score never
+    materializes: c - s/n > 3*sqrt(ss/n - s^2/n^2) multiplies through
+    by n and squares into (n*c - s)^2 > 9*(n*ss - s^2) — pure BIGINT,
+    so aggregation order cannot drift the verdict (the repo's
+    integer-rational compare rule, cf. blocks.py link density /
+    simjoin thresholds). One (type, hr) count exchange (map-side
+    combine), then a 24-row window frame per type — bounded state,
+    partition count = event types. Gap semantics documented: the frame
+    is the previous 24 OBSERVED hours."""
+    hrs = (_t(spark, sf_dir, "events")
+           .select("event_type",
+                   F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) "
+                          f"div {_STC_HOUR_US}").alias("hr"))
+           .groupBy("event_type", "hr")
+           .agg(F.count("*").cast("long").alias("c")))
+    w = (Window.partitionBy("event_type").orderBy("hr")
+         .rowsBetween(-24, -1))
+    trail = hrs.select(
+        "event_type", "hr", "c",
+        F.count("*").over(w).cast("long").alias("n"),
+        F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long").alias("s"),
+        F.coalesce(F.sum(F.col("c") * F.col("c")).over(w), F.lit(0))
+        .cast("long").alias("ss"))
+    num = F.col("n") * F.col("c") - F.col("s")
+    den = F.lit(9) * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+    return (trail.filter((F.col("n") >= 12) & (num > 0)
+                         & (num * num > den))
+            .select("event_type", "hr", "c", "n", "s",
+                    num.alias("spike_num"), den.alias("spike_den_sq")))
