@@ -304,3 +304,62 @@ def test_interval_join_stream_batch_parity(spark, events_batch, tmp_path_factory
     convs_with_click = {p[2] for p in want}
     assert len(lt) == len(convs_with_click)
     assert all(r["gap_us"] > 0 for r in lt)
+
+
+def test_spike_stream_batch_parity(spark, tmp_path_factory):
+    """streaming/anomaly.py vs the oracle-checked rel_anomaly_hours
+    rule on the same planted series, fed as THREE micro-batches
+    (maxFilesPerTrigger=1) so hour counts split across batches and
+    hours close across batch boundaries: the streamed spike set must
+    equal the batch query's, every closed hour must carry a verdict,
+    and the open (last) hour must not emit."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from geoutils_spark.queries import SPARK_QUERIES
+    from geoutils_spark.streaming.anomaly import spike_stream
+
+    counts = [10, 11, 9, 10, 11, 9, 10, 11, 9, 10, 11, 9,
+              10, 11, 9, 10, 11, 9, 10, 11, 9, 10, 11, 9,
+              40, 13, 10]
+    rows = []
+    eid = 0
+    for hr, c in enumerate(counts):
+        for k in range(c):
+            rows.append((eid, hr * 3600 * 1_000_000 + k * 1_000))
+            eid += 1
+    base = tmp_path_factory.mktemp("spikes")
+    d = str(base / "events")
+    os.makedirs(d, exist_ok=True)
+    # three chunk files, split MID-HOUR so per-hour counts span batches
+    cut1, cut2 = len(rows) // 3 + 7, 2 * len(rows) // 3 + 7
+    chunks = [rows[:cut1], rows[cut1:cut2], rows[cut2:]]
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk, "event_id long, us long").select(
+            "event_id",
+            F.timestamp_micros(F.col("us")).cast("timestamp_ntz").alias("ts"),
+            F.lit(1).cast("long").alias("user_id"),
+            F.lit("click").alias("event_type"),
+            F.lit(1.0).alias("value"), F.lit("{}").alias("props"),
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    batch = spark.read.parquet(d)
+    tmp2 = str(base / "tbl")
+    batch.write.mode("overwrite").parquet(os.path.join(tmp2,
+                                                       "events.parquet"))
+    want_spikes = {(r["event_type"], r["hr"]) for r in
+                   SPARK_QUERIES["rel_anomaly_hours"](spark, tmp2).collect()}
+
+    stream = spark.readStream.schema(batch.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(d)
+    q = (spike_stream(stream).writeStream.format("memory")
+         .queryName("spike_q").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM spike_q").collect()
+    got_spikes = {(r["event_type"], r["hr"]) for r in got if r["is_spike"]}
+    assert got_spikes == want_spikes and want_spikes == {("click", 24)}
+    closed = {r["hr"] for r in got}
+    assert closed == set(range(len(counts) - 1))   # all but the open hour
+    assert len(got) == len(closed)                 # one verdict per hour
