@@ -156,6 +156,7 @@ EXTRA = [
     "geo_colocation_pairs",
     "geo_st_cube",
     "rel_anomaly_hours",
+    "warc_wet_roundtrip",
 ]
 
 

@@ -7337,3 +7337,67 @@ def rel_anomaly_hours(spark, sf_dir):
                          & (num * num > den))
             .select("event_type", "hr", "c", "n", "s",
                     num.alias("spike_num"), den.alias("spike_den_sq")))
+
+
+@register("warc_wet_roundtrip", f"""
+    SELECT source || '.example' AS host,
+           COUNT(*) AS n_docs,
+           SUM(octet_length(encode(text))) AS total_bytes,
+           SUM(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT))
+             AS text_hash_sum,
+           SUM(CAST('0x' || substr(md5(
+                 'https://' || source || '.example/doc'
+                 || CAST(doc_id AS VARCHAR)
+                 || strftime(make_timestamp(({_WARC_EPOCH}
+                      + doc_id * 61 % 31536000) * 1000000),
+                    '%Y-%m-%dT%H:%M:%SZ')), 1, 12) AS BIGINT))
+             AS refers_hash_sum
+    FROM documents
+    GROUP BY 1
+    """)
+def warc_wet_roundtrip(spark, sf_dir):
+    """WET sidecar roundtrip (the Common-Crawl extracted-text format,
+    completing the on-ramp story next to warc_ingest_stats' response
+    shards): documents -> byte-deterministic .warc.wet.gz conversion
+    shards (write_wet_shards) -> read_warc(record_types=('conversion',))
+    -> per-host aggregate over text bytes AND the WARC-Refers-To
+    linkage. The refers check is structural: each conversion record's
+    Refers-To is the md5 of (url + WARC-Date) — exactly the id
+    response_record_bytes would assign the SAME row — and the oracle
+    re-derives that md5 from the parquet columns, so a drift in url
+    synthesis, date formatting, or the linkage rule breaks the hash.
+    Scale shape identical to the WARC sink: one task per shard, one
+    task per file on read, aggregate ships per-host sums only."""
+    import os as _os
+    import tempfile
+
+    from geoutils_spark.sources import warc as W
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/doc"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.timestamp_seconds(
+            F.lit(_WARC_EPOCH)
+            + F.pmod(F.col("doc_id") * 61, F.lit(31536000))).alias("warc_ts"),
+        F.col("text").alias("text"))
+    out_dir = _os.path.join(
+        tempfile.gettempdir(),
+        f"geoutils_spark_wet_{_os.path.basename(sf_dir.rstrip('/'))}")
+    paths = W.write_wet_shards(pages, out_dir, n_shards=4)
+    back = W.read_warc(spark, paths, record_types=("conversion",))
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    # the ACTUAL WARC-Refers-To header read back off the wire, with its
+    # <urn:md5:...> framing stripped, summed as 48-bit ints per host
+    # (the body_hash_sum discipline) — the oracle re-derives the md5
+    # from the parquet columns, so the check spans the whole linkage:
+    # url synthesis, date formatting, header write, header parse
+    refers = F.conv(
+        F.substring(F.regexp_extract("refers_to", r"urn:md5:([0-9a-f]+)", 1),
+                    1, 12), 16, 10).cast("long")
+    return (back.groupBy(host.alias("host"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.length("html")).alias("total_bytes"),
+                 F.sum(F.conv(F.substring(F.md5("html"), 1, 12), 16, 10)
+                       .cast("long")).alias("text_hash_sum"),
+                 F.sum(refers).alias("refers_hash_sum")))

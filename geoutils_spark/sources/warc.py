@@ -89,6 +89,28 @@ def response_record_bytes(url: str, date: str, body: bytes,
     ], http)
 
 
+def conversion_record_bytes(url: str, date: str, text: bytes) -> bytes:
+    """WET-style extracted-text record (``WARC-Type: conversion``) — the
+    Common-Crawl sidecar convention for plain-text derivations of crawl
+    responses. ``WARC-Refers-To`` carries the DETERMINISTIC id of the
+    response record for the same (url, date) (response_record_bytes'
+    md5 rule), so a WET shard links back to its WARC source without any
+    shared state. Record id and bytes are a pure function of the row —
+    the sink idempotence rule."""
+    rid = "<urn:md5:" + hashlib.md5(
+        ("conversion:" + url + date).encode("utf-8")).hexdigest() + ">"
+    refers = "<urn:md5:" + hashlib.md5(
+        (url + date).encode("utf-8")).hexdigest() + ">"
+    return _record_bytes([
+        ("WARC-Type", "conversion"),
+        ("WARC-Record-ID", rid),
+        ("WARC-Refers-To", refers),
+        ("WARC-Date", date),
+        ("WARC-Target-URI", url),
+        ("Content-Type", "text/plain"),
+    ], text)
+
+
 def warcinfo_record_bytes(filename: str, date: str) -> bytes:
     info = (f"software: geoutils_spark\r\nisPartOf: {filename}\r\n"
             ).encode("utf-8")
@@ -222,6 +244,7 @@ WARC_SCHEMA = T.StructType([
     T.StructField("http_status", T.IntegerType(), True),
     T.StructField("content_type", T.StringType(), True),
     T.StructField("record_id", T.StringType(), True),
+    T.StructField("refers_to", T.StringType(), True),
 ])
 
 
@@ -243,6 +266,7 @@ def _records_to_rows(records, record_types) -> Iterator[dict]:
             "http_status": status,
             "content_type": ctype,
             "record_id": hdrs.get("warc-record-id"),
+            "refers_to": hdrs.get("warc-refers-to"),
         }
 
 
@@ -333,6 +357,7 @@ CDX_SCHEMA = T.StructType([
     T.StructField("length", T.LongType(), False),
     T.StructField("warc_type", T.StringType(), True),
     T.StructField("record_id", T.StringType(), True),
+    T.StructField("refers_to", T.StringType(), True),
 ])
 
 
@@ -371,6 +396,7 @@ def cdx_index(spark: SparkSession, path: str,
                                 "length": int(ln),
                                 "warc_type": hdrs.get("warc-type"),
                                 "record_id": hdrs.get("warc-record-id"),
+                                "refers_to": hdrs.get("warc-refers-to"),
                             })
                 if rows:
                     yield pd.DataFrame(rows)
@@ -385,14 +411,21 @@ def cdx_index(spark: SparkSession, path: str,
 def write_warc_shards(df: DataFrame, out_dir: str, n_shards: int = 4,
                       url: str = "url", ts: str = "warc_ts",
                       body: str = "html", compress: bool = True,
-                      warcinfo: bool = True) -> list[str]:
+                      warcinfo: bool = True,
+                      record_type: str = "response") -> list[str]:
     """Pages-shaped DataFrame -> ``<out_dir>/shard-NNNN.warc[.gz]``.
 
     Shard = md5 bucket of the url (row-local, partitioning-invariant);
     records url-ordered inside each shard; one task owns one file (the
     per-cell pbf sink's lock-free layout); gzip member per record with
     mtime=0 and a fixed level, so the output bytes are a pure function of
-    the rows — re-runs produce identical files. Returns the shard paths."""
+    the rows — re-runs produce identical files. Returns the shard paths.
+
+    ``record_type="conversion"`` writes WET-style extracted-text shards
+    (``.warc.wet[.gz]``, conversion records linking back to the response
+    ids via WARC-Refers-To) from a plain-text ``body`` column."""
+    if record_type not in ("response", "conversion"):
+        raise ValueError(f"unsupported record_type {record_type!r}")
     os.makedirs(out_dir, exist_ok=True)
     shard = F.pmod(
         F.conv(F.substring(F.md5(F.col(url).cast("binary")), 1, 8),
@@ -403,7 +436,8 @@ def write_warc_shards(df: DataFrame, out_dir: str, n_shards: int = 4,
                    shard.alias("__shard"))
          .repartition(n_shards, "__shard")
          .sortWithinPartitions("url"))
-    ext = ".warc.gz" if compress else ".warc"
+    stem = ".warc.wet" if record_type == "conversion" else ".warc"
+    ext = stem + ".gz" if compress else stem
 
     def write_partition(rows):
         handles: dict[int, object] = {}
@@ -420,8 +454,10 @@ def write_warc_shards(df: DataFrame, out_dir: str, n_shards: int = 4,
                             gzip.compress(rec, _GZIP_LEVEL, mtime=0)
                             if compress else rec)
                 date = warc_date(r["warc_ts"])
-                rec = response_record_bytes(
-                    r["url"], date, bytes(r["html"] or b""))
+                payload = bytes(r["html"] or b"")
+                rec = (conversion_record_bytes(r["url"], date, payload)
+                       if record_type == "conversion"
+                       else response_record_bytes(r["url"], date, payload))
                 handles[s].write(
                     gzip.compress(rec, _GZIP_LEVEL, mtime=0)
                     if compress else rec)
@@ -433,6 +469,16 @@ def write_warc_shards(df: DataFrame, out_dir: str, n_shards: int = 4,
     return sorted(
         os.path.join(out_dir, p) for p in os.listdir(out_dir)
         if p.endswith(ext))
+
+
+def write_wet_shards(df: DataFrame, out_dir: str, n_shards: int = 4,
+                     url: str = "url", ts: str = "warc_ts",
+                     text: str = "text", compress: bool = True) -> list[str]:
+    """Extracted-text DataFrame -> WET shards (conversion records); see
+    write_warc_shards(record_type='conversion')."""
+    return write_warc_shards(df, out_dir, n_shards=n_shards, url=url,
+                             ts=ts, body=text, compress=compress,
+                             record_type="conversion")
 
 
 # ---------------------------------------------------------------------------

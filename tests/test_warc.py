@@ -177,3 +177,48 @@ def test_stream_warc_incremental(spark, tmp_path):
     # every url parsed exactly once across both passes (no reprocess of
     # the first two shards, no missed late file)
     assert got2.select("url").distinct().count() == 50
+
+
+def test_wet_shards_link_to_response_ids(spark, tmp_path_factory):
+    """WET conversion shards: (a) text bytes roundtrip exactly; (b) every
+    conversion record's WARC-Refers-To equals the record id a response
+    shard assigns the SAME (url, ts) row — the cross-format linkage that
+    lets a WET consumer range-fetch the source html; (c) re-runs are
+    byte-identical (sink idempotence)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from geoutils_spark.sources import warc as W
+
+    pages = spark.createDataFrame(
+        [(f"https://site{i % 3}.example/p{i}",
+          f"2024-02-0{1 + i % 5}T0{i % 9}:00:00",
+          f"extracted text body {i} — unicode ok") for i in range(40)],
+        "url string, ts_s string, text string",
+    ).select("url", F.to_timestamp("ts_s").alias("warc_ts"), "text")
+    base = tmp_path_factory.mktemp("wet")
+    wet_dir, warc_dir = str(base / "wet"), str(base / "warc")
+    wet_paths = W.write_wet_shards(pages, wet_dir, n_shards=3)
+    warc_paths = W.write_warc_shards(
+        pages.select("url", "warc_ts",
+                     F.col("text").cast("binary").alias("html")),
+        warc_dir, n_shards=3)
+    assert all(p.endswith(".warc.wet.gz") for p in wet_paths)
+    conv = W.read_warc(spark, wet_paths,
+                       record_types=("conversion",)).collect()
+    resp = {r["url"]: r["record_id"] for r in
+            W.read_warc(spark, warc_paths).collect()}
+    want_text = {r["url"]: r["text"] for r in pages.collect()}
+    assert len(conv) == 40
+    for r in conv:
+        assert bytes(r["html"]).decode("utf-8") == want_text[r["url"]]
+        assert r["refers_to"] == resp[r["url"]]
+        assert r["http_status"] is None          # plain text, no envelope
+    # idempotence: second write produces byte-identical files
+    import hashlib
+    h1 = [hashlib.md5(open(p, "rb").read()).hexdigest() for p in wet_paths]
+    wet2 = str(base / "wet2")
+    p2 = W.write_wet_shards(pages, wet2, n_shards=3)
+    h2 = [hashlib.md5(open(p, "rb").read()).hexdigest() for p in p2]
+    assert h1 == h2
